@@ -2,16 +2,26 @@
 
 Tests exercise the same jitted code paths that run on TPU; multi-chip
 sharding tests use the 8 virtual CPU devices as a stand-in mesh.
+
+Note: the environment's sitecustomize registers the ``axon`` TPU backend
+and overrides ``JAX_PLATFORMS``, so we must force CPU through
+``jax.config`` (which wins over the plugin) before any computation runs.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# enable the f64 exact-parity mode used by the golden reference tests;
+# decoders still default to f32 (the TPU perf path) unless dtype is passed
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
