@@ -1,0 +1,124 @@
+"""Benchmark: batched BP+OSD syndromes/s on a d=13 surface code vs the
+reference C++ decoder (BASELINE.md north-star workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "syndromes/s", "vs_baseline": N}
+
+The TPU path drives the public library surface (`BpOsdDecoder.decode_batch`,
+including host transfers). The baseline is the reference C++ BP+OSD measured
+on this machine via ``native/bench_baseline.cpp`` compiled against the
+read-only reference headers; if the reference tree or toolchain is absent,
+a recorded fallback baseline is used and flagged in the JSON.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DISTANCE = 13
+ERROR_RATE = 0.01
+MAX_ITER = 30
+MS_FACTOR = 0.625
+BATCH = 16384
+TIMED_ROUNDS = 3
+BASELINE_SYNDROMES = 3000
+# recorded single-core reference rate on this machine class (c.f. commit log)
+FALLBACK_BASELINE_RATE = 9000.0
+
+REF = "/root/reference"
+BIN_DIR = "/tmp/ldpc_tpu_bench"
+BIN = os.path.join(BIN_DIR, "bench_baseline")
+
+
+def build_workload():
+    from ldpc_tpu.codes import surface_code
+
+    code = surface_code(DISTANCE)
+    H = np.asarray(code.hx.todense(), dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    errors = (rng.random((BATCH, H.shape[1])) < ERROR_RATE).astype(np.uint8)
+    syndromes = (errors @ H.T % 2).astype(np.uint8)
+    return code, H, errors, syndromes
+
+
+def measure_tpu(code, H, syndromes):
+    from ldpc_tpu import BpOsdDecoder
+
+    dec = BpOsdDecoder(
+        code.hx,
+        error_rate=ERROR_RATE,
+        max_iter=MAX_ITER,
+        bp_method="minimum_sum",
+        ms_scaling_factor=MS_FACTOR,
+        schedule="parallel",
+        osd_method="osd_0",
+        osd_order=0,
+    )
+    out = dec.decode_batch(syndromes)  # warmup + compile
+    assert ((out @ H.T) % 2 == syndromes).all(), "decode invalid"
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ROUNDS):
+        dec.decode_batch(syndromes)
+    dt = time.perf_counter() - t0
+    return TIMED_ROUNDS * syndromes.shape[0] / dt
+
+
+def measure_baseline(H, syndromes):
+    if not os.path.isdir(os.path.join(REF, "src_cpp")):
+        return FALLBACK_BASELINE_RATE, "fallback(no reference tree)"
+    if not os.path.exists(BIN):
+        os.makedirs(BIN_DIR, exist_ok=True)
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native", "bench_baseline.cpp")
+        cmd = [
+            "g++", "-O3", "-std=c++20", "-o", BIN, src,
+            "-I", os.path.join(REF, "src_cpp"),
+            "-I", os.path.join(REF, "include"),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except Exception as exc:  # toolchain missing / compile failure
+            return FALLBACK_BASELINE_RATE, f"fallback(compile failed: {exc})"
+    m, n = H.shape
+    syn = syndromes[:BASELINE_SYNDROMES]
+    lines = [f"{m} {n}"]
+    lines += [" ".join(map(str, row)) for row in H]
+    lines.append(" ".join([f"{ERROR_RATE:.10f}"] * n))
+    lines.append(str(len(syn)))
+    lines += [" ".join(map(str, s)) for s in syn]
+    try:
+        out = subprocess.run(
+            [BIN, str(MAX_ITER), str(MS_FACTOR), "0", "0"],
+            input="\n".join(lines), capture_output=True, text=True,
+            check=True, timeout=600,
+        ).stdout
+        secs = float(out.split(" in ")[1].split(" s")[0])
+        return len(syn) / secs, "measured"
+    except Exception as exc:
+        return FALLBACK_BASELINE_RATE, f"fallback(run failed: {exc})"
+
+
+def main():
+    code, H, errors, syndromes = build_workload()
+    tpu_rate = measure_tpu(code, H, syndromes)
+    base_rate, base_src = measure_baseline(H, syndromes)
+    import jax
+
+    print(json.dumps({
+        "metric": "syndromes_per_sec_bposd0_surface_d13",
+        "value": round(tpu_rate, 1),
+        "unit": "syndromes/s",
+        "vs_baseline": round(tpu_rate / base_rate, 2),
+        "baseline": round(base_rate, 1),
+        "baseline_source": base_src,
+        "batch": BATCH,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

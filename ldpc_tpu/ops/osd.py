@@ -66,7 +66,7 @@ def make_osd_decoder(
     channel: np.ndarray,
     osd_method: int,
     osd_order: int,
-    dtype=jnp.float64,
+    dtype=jnp.float32,
 ):
     """Build a jitted batched OSD decoder.
 

@@ -1,0 +1,20 @@
+"""Multi-chip distribution layer (mesh, shardings, collectives).
+
+The reference has no parallel backend at all (OpenMP is stubbed out,
+reference: src_cpp/bp.hpp:136-140; no MPI/NCCL anywhere) — every decode is
+one syndrome on one core. Here the syndrome batch is the first-class
+data-parallel axis: decode programs are pure jitted functions of
+``(B, m)`` syndrome arrays, so distribution is expressed entirely through
+``jax.sharding`` — place the batch axis over the mesh and XLA inserts the
+(tiny) collectives for global convergence flags and statistics over ICI.
+"""
+
+from ldpc_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    unshard,
+    psum_tally,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "unshard", "psum_tally"]

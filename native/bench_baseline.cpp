@@ -1,0 +1,75 @@
+// Reference-baseline benchmark driver.
+//
+// Measures the reference C++ BP(+OSD) decoder's single-core throughput on
+// this machine by #including the reference headers (mounted read-only at
+// -I <reference>/src_cpp). This file is a *driver* of the reference, not
+// part of the new framework's decode path — the TPU framework never links
+// against it; bench.py compiles and runs it to compute `vs_baseline`.
+//
+// stdin:  m n
+//         m rows of n 0/1 ints        (parity-check matrix, dense)
+//         n doubles                    (error channel)
+//         num_syndromes
+//         num_syndromes rows of m 0/1 ints
+// argv:   max_iter ms_scaling_factor osd_method(-1 off,0,1=E,2=CS) osd_order
+// stdout: one line: "decoded <N> syndromes in <seconds> s"
+#include <chrono>
+#include <cstdio>
+#include <iostream>
+#include <vector>
+
+#include "bp.hpp"
+#include "osd.hpp"
+
+int main(int argc, char **argv) {
+    int max_iter = argc > 1 ? std::atoi(argv[1]) : 30;
+    double ms_factor = argc > 2 ? std::atof(argv[2]) : 0.625;
+    int osd_method_i = argc > 3 ? std::atoi(argv[3]) : 0;
+    int osd_order = argc > 4 ? std::atoi(argv[4]) : 0;
+
+    int m, n;
+    std::cin >> m >> n;
+    auto pcm = ldpc::bp::BpSparse(m, n);
+    for (int i = 0; i < m; i++)
+        for (int j = 0; j < n; j++) {
+            int v;
+            std::cin >> v;
+            if (v) pcm.insert_entry(i, j);
+        }
+    std::vector<double> channel(n);
+    for (int j = 0; j < n; j++) std::cin >> channel[j];
+    int num;
+    std::cin >> num;
+    std::vector<std::vector<uint8_t>> syndromes(num, std::vector<uint8_t>(m));
+    for (int s = 0; s < num; s++)
+        for (int i = 0; i < m; i++) {
+            int v;
+            std::cin >> v;
+            syndromes[s][i] = (uint8_t)v;
+        }
+
+    ldpc::bp::BpDecoder bpd(pcm, channel, max_iter, ldpc::bp::MINIMUM_SUM,
+                            ldpc::bp::PARALLEL, ms_factor);
+    ldpc::osd::OsdDecoder *osd = nullptr;
+    if (osd_method_i >= 0)
+        osd = new ldpc::osd::OsdDecoder(
+            pcm, static_cast<ldpc::osd::OsdMethod>(osd_method_i + 1), osd_order,
+            channel);
+
+    long long checksum = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int s = 0; s < num; s++) {
+        bpd.decode(syndromes[s]);
+        if (!bpd.converge && osd) {
+            osd->decode(syndromes[s], bpd.log_prob_ratios);
+            for (auto v : osd->osdw_decoding) checksum += v;
+        } else {
+            for (auto v : bpd.decoding) checksum += v;
+        }
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+    std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num, secs,
+                checksum);
+    return 0;
+}
