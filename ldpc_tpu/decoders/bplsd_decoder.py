@@ -1,0 +1,216 @@
+"""BpLsdDecoder: BP with localized-statistics-decoding fallback.
+
+API parity with the reference
+(reference: src_python/ldpc/bplsd_decoder/_bplsd_decoder.pyx): BP first,
+on non-convergence LSD guided by the BP posterior LLRs
+(_bplsd_decoder.pyx:144-155); ``lsd_method``/``lsd_order`` accept the
+``osd_method``/``osd_order`` compatibility kwargs (:69-78);
+``always_run_lsd`` bypasses the BP short-circuit.
+"""
+
+import time
+import warnings
+from typing import List, Optional, Union
+
+import numpy as np
+import scipy.sparse
+
+import jax.numpy as jnp
+
+from ldpc_tpu.decoders.base import BpDecoderBase
+from ldpc_tpu.decoders.lsd_common import (
+    METHOD_NAMES,
+    Statistics,
+    parse_lsd_method,
+)
+from ldpc_tpu.ops import lsd as lsd_ops
+
+
+class BpLsdDecoder(BpDecoderBase):
+    """BP + LSD decoder, batched (arXiv:2406.18655)."""
+
+    def __init__(
+        self,
+        pcm: Union[np.ndarray, scipy.sparse.spmatrix],
+        error_rate: Optional[float] = None,
+        error_channel: Optional[Union[np.ndarray, List[float]]] = None,
+        max_iter: Optional[int] = 0,
+        bp_method: Optional[str] = "minimum_sum",
+        ms_scaling_factor: Optional[Union[float, int]] = 1.0,
+        schedule: Optional[str] = "parallel",
+        omp_thread_count: Optional[int] = 1,
+        random_schedule_seed: Optional[int] = 0,
+        serial_schedule_order: Optional[List[int]] = None,
+        bits_per_step: int = 1,
+        input_vector_type: str = "syndrome",
+        lsd_order: int = 0,
+        lsd_method: Union[str, int] = 0,
+        always_run_lsd: bool = False,
+        **kwargs,
+    ):
+        # osd_method / osd_order compatibility (_bplsd_decoder.pyx:69-78)
+        if "osd_method" in kwargs:
+            lsd_method = kwargs.pop("osd_method")
+        if "osd_order" in kwargs:
+            lsd_order = kwargs.pop("osd_order")
+        if lsd_order < 0:
+            raise ValueError(
+                f"lsd_order must be greater than or equal to 0. Not {lsd_order}."
+            )
+        super().__init__(
+            pcm,
+            error_rate=error_rate,
+            error_channel=error_channel,
+            max_iter=max_iter,
+            bp_method=bp_method,
+            ms_scaling_factor=ms_scaling_factor,
+            schedule=schedule,
+            omp_thread_count=omp_thread_count,
+            random_schedule_seed=random_schedule_seed,
+            serial_schedule_order=serial_schedule_order,
+            **kwargs,
+        )
+        self._lsd_method = 0
+        self._lsd_order = 0
+        self.lsd_method = lsd_method
+        self.lsd_order = lsd_order
+        self.always_run_lsd = always_run_lsd
+        self.bits_per_step = bits_per_step if bits_per_step != 0 else self.n
+        self._do_stats = False
+        self._statistics = Statistics()
+        self._lsd_fn = None
+
+    # ------------------------------------------------------------------
+    @property
+    def lsd_method(self) -> Optional[str]:
+        return METHOD_NAMES.get(self._lsd_method)
+
+    @lsd_method.setter
+    def lsd_method(self, method: Union[str, int, float]) -> None:
+        self._lsd_method = parse_lsd_method(method)
+        if self._lsd_method == lsd_ops.LSD_0:
+            self._lsd_order = 0
+        self._lsd_fn = None
+
+    @property
+    def lsd_order(self) -> int:
+        return self._lsd_order
+
+    @lsd_order.setter
+    def lsd_order(self, order: int) -> None:
+        if order < 0:
+            raise ValueError(
+                f"ERROR: OSD order '{order}' invalid. Please choose a "
+                "positive integer."
+            )
+        if self._lsd_method == lsd_ops.LSD_0 and order != 0:
+            raise ValueError(
+                f"ERROR: OSD order '{order}' invalid. The 'osd_method' is "
+                "set to 'OSD_0'. The osd order must therefore be set to 0."
+            )
+        if self._lsd_method == lsd_ops.LSD_E and order > 15:
+            warnings.warn(
+                "WARNING: Running the 'OSD_E' (Exhaustive method) with "
+                "search depth greater than 15 is not recommended. Use the "
+                "'osd_cs' method instead."
+            )
+        self._lsd_order = order
+        self._lsd_fn = None
+
+    # ------------------------------------------------------------------
+    # statistics plumbing (reference: _bplsd_decoder.pyx:174-321)
+    # ------------------------------------------------------------------
+    @property
+    def statistics(self) -> Statistics:
+        return self._statistics
+
+    @property
+    def do_stats(self) -> bool:
+        return self._do_stats
+
+    def set_do_stats(self, value: bool) -> None:
+        self._do_stats = bool(value)
+
+    def set_additional_stat_fields(self, error, syndrome, compare_recover):
+        self._statistics.error = list(np.asarray(error).astype(int))
+        self._statistics.syndrome = list(np.asarray(syndrome).astype(int))
+        self._statistics.compare_recover = list(
+            np.asarray(compare_recover).astype(int)
+        )
+
+    def reset_cluster_stats(self) -> None:
+        self._statistics = Statistics()
+
+    # ------------------------------------------------------------------
+    def _lsd_decode_fn(self):
+        if self._lsd_fn is None:
+            self._lsd_fn = lsd_ops.make_lsd_decoder(
+                self.graph,
+                lsd_method=max(self._lsd_method, 0),
+                lsd_order=self._lsd_order,
+                bits_per_step=self.bits_per_step,
+            )
+        return self._lsd_fn
+
+    def decode(self, syndrome: np.ndarray) -> np.ndarray:
+        syndrome = np.asarray(syndrome)
+        if not len(syndrome) == self.m:
+            raise ValueError(
+                f"The syndrome must have length {self.m}. Not {len(syndrome)}."
+            )
+        out = self.decode_batch(syndrome[None, :].astype(np.uint8))[0]
+        return out.astype(syndrome.dtype)
+
+    def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
+        """Batched BP, then one LSD program over the compacted
+        non-converged subset (always the full batch when
+        ``always_run_lsd``)."""
+        syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+        if syndromes.shape[1] != self.m:
+            raise ValueError(
+                f"The syndromes must have shape (batch, {self.m}). "
+                f"Not {syndromes.shape}."
+            )
+        t0 = time.perf_counter()
+        nonzero = syndromes.any(axis=1)
+        bp = self._run_bp_batch(syndromes)
+        out = np.array(bp.decoding)
+        conv = np.asarray(bp.converged) | ~nonzero
+        out[~nonzero] = 0
+        llrs = np.asarray(bp.llr_posterior)
+
+        if self.always_run_lsd:
+            failed = np.flatnonzero(nonzero)
+        else:
+            failed = np.flatnonzero(~conv)
+        if failed.size:
+            fn = self._lsd_decode_fn()
+            bucket = 1 << int(failed.size - 1).bit_length()
+            pad = bucket - failed.size
+            syn_f = np.concatenate(
+                [syndromes[failed], np.zeros((pad, self.m), np.uint8)]
+            )
+            llr_f = np.concatenate(
+                [llrs[failed], np.zeros((pad, self.n), llrs.dtype)]
+            )
+            dec, _ = fn(jnp.asarray(syn_f), jnp.asarray(llr_f))
+            out[failed] = np.asarray(dec)[: failed.size]
+
+        self.converge_batch = conv
+        self.iter_batch = np.asarray(bp.iterations)
+        self._converge = bool(conv[0])
+        self._iter = int(self.iter_batch[0])
+        self._log_prob_ratios = llrs[0]
+        self._bp_decoding = np.asarray(bp.decoding)[0]
+        self._decoding = out[0]
+        self._statistics.elapsed_time = (time.perf_counter() - t0) * 1e6
+        self._statistics.lsd_order = self._lsd_order
+        self._statistics.lsd_method = max(self._lsd_method, 0)
+        if self._do_stats:
+            self._statistics.bit_llrs = list(map(float, llrs[0]))
+            self._statistics.syndrome = list(map(int, syndromes[0]))
+        return out
+
+    @property
+    def bp_decoding(self) -> np.ndarray:
+        return np.asarray(self._bp_decoding).astype(int)

@@ -99,9 +99,9 @@ def _grow(graph: PcmGraph, in_bit, labels, chk_invalid, llrs, bits_per_step, dty
     )
     bit_lab = jnp.where(cand, bit_lab, _INF)  # (B, n)
     # rank boundary bits inside their cluster by LLR: sort by (label, llr)
-    sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True)
+    sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True).astype(jnp.int32)
     lab_by_llr = jnp.take_along_axis(bit_lab, sub, axis=1)
-    seg = jnp.argsort(lab_by_llr, axis=1, stable=True)
+    seg = jnp.argsort(lab_by_llr, axis=1, stable=True).astype(jnp.int32)
     perm = jnp.take_along_axis(sub, seg, axis=1)  # (B, n) bit ids
     lab_sorted = jnp.take_along_axis(bit_lab, perm, axis=1)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
@@ -122,6 +122,78 @@ def _grow(graph: PcmGraph, in_bit, labels, chk_invalid, llrs, bits_per_step, dty
 # ----------------------------------------------------------------------
 # inversion (matrix) mode
 # ----------------------------------------------------------------------
+def masked_solve(graph: PcmGraph, in_bit, syndromes, llrs, dtype=jnp.float32):
+    """Gauss-Jordan of the column-masked PCM in ascending-LLR order
+    (pivots land on the most error-likely bits, mirroring the
+    soft-guided insertion order of the reference's cluster solve).
+
+    Returns ``(RrefResult, order: (B, n) int32 permuted->original)``.
+    """
+    H_dev = jnp.asarray(graph.dense)
+    key = jnp.where(in_bit, llrs.astype(dtype), jnp.array(np.inf, dtype))
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
+    colmask = jnp.take_along_axis(in_bit, order, axis=1)
+    H_perm = H_perm * colmask[:, None, :].astype(jnp.uint8)
+    res = gf2.batched_rref(H_perm, syndromes)
+    return res, order
+
+
+def invalid_checks_from_rref(res, labels, m):
+    """Per-check invalid-cluster flags from a masked global rref.
+
+    A cluster is invalid iff one of its rows is unreduced with syndrome 1
+    (valid by block-diagonality of the masked system across clusters).
+    """
+    B = labels.shape[0]
+    bidx = jnp.arange(B)[:, None]
+    bad_row = ((res.synd_red == 1) & ~res.row_used).astype(jnp.int32)
+    lab_clip = jnp.minimum(labels, m)
+    invalid_of_label = (
+        jnp.zeros((B, m + 1), jnp.int32).at[bidx, lab_clip].max(bad_row)
+    )
+    return (invalid_of_label[bidx, lab_clip] > 0) & (labels < _INF)
+
+
+def grow_until_valid(graph: PcmGraph, syndromes, llrs, bits_per_step, dtype):
+    """The shared UF/LSD growth loop: grow invalid clusters until every
+    cluster's syndrome is in the image of its sub-PCM
+    (union_find.hpp:503-520, lsd.hpp:714-741).
+
+    Returns ``(in_bit, res, order)`` of the final valid state.
+    """
+    m, n = graph.m, graph.n
+    B = syndromes.shape[0]
+    seed_checks = syndromes == 1
+
+    def round_body(state_i):
+        (in_bit, _, _, _), i = state_i
+        labels, _ = _propagate_labels(graph, in_bit, seed_checks)
+        res, order = masked_solve(graph, in_bit, syndromes, llrs, dtype)
+        chk_invalid = invalid_checks_from_rref(res, labels, m)
+        any_invalid = chk_invalid.any(axis=1)
+        new_in = _grow(
+            graph, in_bit, labels, chk_invalid, llrs, bits_per_step, dtype
+        )
+        new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
+        return (new_in, res, order, any_invalid), i + 1
+
+    def cond(state_i):
+        (_, _, _, any_invalid), i = state_i
+        # every invalid cluster gains >= 1 bit per round -> n bounds it
+        return jnp.any(any_invalid) & (i <= n)
+
+    res0, order0 = masked_solve(
+        graph, jnp.zeros((B, n), bool), syndromes, llrs, dtype
+    )
+    state0 = (
+        (jnp.zeros((B, n), bool), res0, order0, jnp.ones(B, bool)),
+        jnp.int32(0),
+    )
+    (in_bit, res, order, _), _ = jax.lax.while_loop(cond, round_body, state0)
+    return in_bit, res, order
+
+
 def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
     """Build a jitted batched union-find inversion-mode decoder
     (union_find.hpp:485-532).
@@ -133,58 +205,15 @@ def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
     Returns ``decode(syndromes: (B, m) uint8, llrs: (B, n)) ->
     (decoding: (B, n) uint8, valid: (B,) bool)``.
     """
-    m, n = graph.m, graph.n
-    H_dev = jnp.asarray(graph.dense)
-
-    def masked_solve(in_bit, syndromes, llrs):
-        """Gauss-Jordan of the column-masked PCM in ascending-LLR order
-        (pivots land on the most error-likely bits, mirroring the
-        soft-guided insertion order of the reference's cluster solve)."""
-        key = jnp.where(in_bit, llrs.astype(dtype), jnp.array(np.inf, dtype))
-        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
-        H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
-        colmask = jnp.take_along_axis(in_bit, order, axis=1)
-        H_perm = H_perm * colmask[:, None, :].astype(jnp.uint8)
-        res = gf2.batched_rref(H_perm, syndromes)
-        return res, order
 
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
         B = syndromes.shape[0]
         syndromes = syndromes.astype(jnp.uint8)
-        seed_checks = syndromes == 1
         bidx = jnp.arange(B)[:, None]
-
-        def round_body(state_i):
-            (in_bit, _, _, _), i = state_i
-            labels, _ = _propagate_labels(graph, in_bit, seed_checks)
-            res, order = masked_solve(in_bit, syndromes, llrs)
-            # cluster invalid iff one of its rows is unreduced with
-            # syndrome 1 (block-diagonality of the masked system)
-            bad_row = ((res.synd_red == 1) & ~res.row_used).astype(jnp.int32)
-            lab_clip = jnp.minimum(labels, m)
-            invalid_of_label = (
-                jnp.zeros((B, m + 1), jnp.int32).at[bidx, lab_clip].max(bad_row)
-            )
-            chk_invalid = (invalid_of_label[bidx, lab_clip] > 0) & (labels < _INF)
-            any_invalid = chk_invalid.any(axis=1)
-            new_in = _grow(
-                graph, in_bit, labels, chk_invalid, llrs, bits_per_step, dtype
-            )
-            new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
-            return (new_in, res, order, any_invalid), i + 1
-
-        def cond(state_i):
-            (_, _, _, any_invalid), i = state_i
-            # every invalid cluster gains >= 1 bit per round -> n bounds it
-            return jnp.any(any_invalid) & (i <= n)
-
-        res0, order0 = masked_solve(jnp.zeros((B, n), bool), syndromes, llrs)
-        state0 = (
-            (jnp.zeros((B, n), bool), res0, order0, jnp.ones(B, bool)),
-            jnp.int32(0),
+        _, res, order = grow_until_valid(
+            graph, syndromes, llrs, bits_per_step, dtype
         )
-        (in_bit, res, order, _), _ = jax.lax.while_loop(cond, round_body, state0)
-        decoding = jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(res.x0)
+        decoding = jnp.zeros((B, graph.n), jnp.uint8).at[bidx, order].set(res.x0)
         return decoding, res.valid
 
     return jax.jit(decode)
