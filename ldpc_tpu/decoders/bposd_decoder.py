@@ -164,9 +164,100 @@ class BpOsdDecoder(BpDecoderBase):
         out = self.decode_batch(syndrome[None, :].astype(np.uint8))[0]
         return out.astype(syndrome.dtype)
 
+    _CASCADE_ITERS = 6
+
+    def _cascade_fns(self):
+        """Phase-1 (cheap, full-batch) BP program for the cascade."""
+        key = ("bp_cascade", self._config_key())
+        fn = self._decoder_cache.get(key)
+        if fn is None:
+            from ldpc_tpu.ops import bp as bp_ops
+
+            fn = bp_ops.make_parallel_decoder(
+                self.graph,
+                self._bp_method,
+                self._CASCADE_ITERS,
+                self._ms_scaling_factor,
+                dtype=self._dtype,
+            )
+            self._decoder_cache[key] = fn
+        return fn
+
+    def _epilogue_fn(self):
+        """Fused device epilogue: pick BP-vs-OSD per element, scatter the
+        subset back into the full batch, bit-pack outputs, pack metadata.
+        One dispatch, two pulls."""
+        fn = self._decoder_cache.get("epilogue")
+        if fn is None:
+            import jax
+
+            def epilogue(dec1, conv1, iters1, idx, rowvalid,
+                         dec2, conv2, iters2, d0, dw):
+                B = dec1.shape[0]
+                out_f = jnp.where(conv2[:, None], dec2, dw)
+                osd0_f = jnp.where(conv2[:, None], dec2, d0)
+                idxs = jnp.where(rowvalid, idx, B)  # sentinel row
+                sent = jnp.zeros((1, dec1.shape[1]), dec1.dtype)
+                base = jnp.concatenate([dec1, sent])
+                outw = base.at[idxs].set(out_f)[:B]
+                out0 = base.at[idxs].set(osd0_f)[:B]
+                conv = jnp.concatenate([conv1, jnp.zeros(1, bool)])
+                conv = conv.at[idxs].set(conv2)[:B]
+                iters = jnp.concatenate([iters1, jnp.zeros(1, jnp.int32)])
+                iters = iters.at[idxs].set(iters2)[:B]
+                meta = jnp.stack([conv.astype(jnp.int32), iters])
+                return (
+                    osd_ops.gf2.pack_bits_u8(outw),
+                    osd_ops.gf2.pack_bits_u8(out0),
+                    meta,
+                )
+
+            fn = jax.jit(epilogue)
+            self._decoder_cache["epilogue"] = fn
+        return fn
+
+    def _merge_pack_fn(self):
+        """Jitted merge of the OSD-failed-subset results into the BP
+        output plus bit-packing — one device dispatch, one small pull."""
+        fn = self._decoder_cache.get("merge_pack")
+        if fn is None:
+
+            def merge_pack(out, idx, d0, dw, rowvalid):
+                # scatter through a sentinel row so padded idx slots
+                # can't race a real row-0 write
+                B = out.shape[0]
+                sent = jnp.full((1,) + out.shape[1:], 0, out.dtype)
+                idx = jnp.where(rowvalid, idx, B)
+                merged = jnp.concatenate([out, sent])
+                osdw = merged.at[idx].set(dw)[:B]
+                osd0 = merged.at[idx].set(d0)[:B]
+                return (
+                    osd_ops.gf2.pack_bits_u8(osdw),
+                    osd_ops.gf2.pack_bits_u8(osd0),
+                )
+
+            import jax
+
+            fn = jax.jit(merge_pack)
+            self._decoder_cache["merge_pack"] = fn
+        return fn
+
+    def _pack_fn(self):
+        fn = self._decoder_cache.get("pack")
+        if fn is None:
+            import jax
+
+            fn = jax.jit(lambda out: osd_ops.gf2.pack_bits_u8(out))
+            self._decoder_cache["pack"] = fn
+        return fn
+
     def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
         """Decode a (B, m) batch: batched BP, then one OSD program over the
-        compacted non-converged subset."""
+        compacted non-converged subset.
+
+        Device<->host traffic is minimised for tunneled/remote chips: the
+        failed-subset gather, result merge and bit-packing all run on
+        device; only the converged flags and packed decodings cross."""
         syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
         if syndromes.shape[1] != self.m:
             raise ValueError(
@@ -175,51 +266,142 @@ class BpOsdDecoder(BpDecoderBase):
             )
         B = syndromes.shape[0]
         nonzero = syndromes.any(axis=1)
+        syn_dev = jnp.asarray(syndromes)
 
-        bp = self._run_bp_batch(syndromes)
-        bp_dec = np.array(bp.decoding)
-        conv = np.asarray(bp.converged)
-        conv = conv | ~nonzero
-        bp_dec[~nonzero] = 0
-        llrs = np.asarray(bp.llr_posterior)
+        from ldpc_tpu.ops import bp as bp_ops
 
-        out = bp_dec.copy()
-        osd0 = bp_dec.copy()
-        osdw = bp_dec.copy()
+        use_cascade = (
+            self._schedule == bp_ops.PARALLEL
+            and self._max_iter > self._CASCADE_ITERS
+            and self._osd_method != osd_ops.OSD_OFF
+            and self._dtype == jnp.float32
+        )
+        if use_cascade:
+            return self._decode_batch_cascade(syndromes, syn_dev, nonzero)
+
+        bp = self._run_bp_batch(syn_dev)
+        conv = np.asarray(bp.converged) | ~nonzero
+        self.iter_batch = np.asarray(bp.iterations)
+
         failed = np.flatnonzero(~conv)
-        if failed.size and self._osd_method != osd_ops.OSD_OFF:
+        run_osd = failed.size and self._osd_method != osd_ops.OSD_OFF
+        if run_osd:
             fn = self._osd_decode_fn()
             # bucket the failed-subset size to powers of two so the jitted
             # program re-compiles only O(log B) times
             bucket = 1 << (int(failed.size - 1).bit_length())
-            pad = bucket - failed.size
-            syn_f = np.concatenate(
-                [syndromes[failed], np.zeros((pad, self.m), np.uint8)]
+            idx = np.zeros(bucket, np.int32)
+            idx[: failed.size] = failed
+            idx_dev = jnp.asarray(idx)
+            rowvalid = jnp.asarray(np.arange(bucket) < failed.size)
+            syn_f = jnp.take(syn_dev, idx_dev, axis=0) * rowvalid[
+                :, None
+            ].astype(jnp.uint8)
+            llr_f = jnp.take(bp.llr_posterior, idx_dev, axis=0)
+            d0, dw, _ = fn(syn_f, llr_f)
+            packed_w, packed_0 = self._merge_pack_fn()(
+                bp.decoding, idx_dev, d0, dw, rowvalid
             )
-            llr_f = np.concatenate(
-                [llrs[failed], np.zeros((pad, self.n), llrs.dtype)]
-            )
-            d0, dw, _ = fn(jnp.asarray(syn_f), jnp.asarray(llr_f))
-            d0 = np.asarray(d0)[: failed.size]
-            dw = np.asarray(dw)[: failed.size]
-            osd0[failed] = d0
-            osdw[failed] = dw
-            out[failed] = dw
+            osdw = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_w), self.n)
+            osd0 = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_0), self.n)
+        else:
+            packed = np.asarray(self._pack_fn()(bp.decoding))
+            osdw = osd_ops.gf2.unpack_bits_u8(packed, self.n)
+            osd0 = osdw.copy()
+        osdw[~nonzero] = 0
+        osd0[~nonzero] = 0
+        out = osdw
 
         self.converge_batch = conv
-        self.iter_batch = np.asarray(bp.iterations)
-        self.log_prob_ratios_batch = llrs
+        self.log_prob_ratios_batch = bp.llr_posterior  # device; np-convertible
+        self._bp_decoding_dev = bp.decoding  # device; pulled on demand
         self._converge = bool(conv[0])
         self._iter = int(self.iter_batch[0])
-        self._log_prob_ratios = llrs[0]
-        self._bp_decoding = bp_dec[0]
+        self._log_prob_ratios = bp.llr_posterior[0]
+        self._bp_decoding = None
         self._osd0_decoding = osd0[0]
         self._osdw_decoding = osdw[0]
         self._decoding = out[0]
-        self.bp_decoding_batch = bp_dec
         self.osd0_decoding_batch = osd0
         self.osdw_decoding_batch = osdw
         return out
+
+    def _decode_batch_cascade(
+        self, syndromes: np.ndarray, syn_dev, nonzero
+    ) -> np.ndarray:
+        """The TPU fast path: cheap full-batch BP, then full-depth BP and
+        OSD on the compacted non-converged bucket, fused device epilogue.
+
+        Per-element results are identical to the plain path: each
+        element's BP trajectory is deterministic, so re-running the
+        stragglers from scratch at full depth reproduces what a single
+        full-depth batched run would produce for them, and OSD results
+        for elements that converge later are discarded on device.
+        """
+        B = syndromes.shape[0]
+        bp1 = self._cascade_fns()(syn_dev, jnp.asarray(self._init_llr()))
+        conv1 = np.asarray(bp1.converged) | ~nonzero
+        failed = np.flatnonzero(~conv1)
+        if failed.size == 0:
+            packed = np.asarray(self._pack_fn()(bp1.decoding))
+            out = osd_ops.gf2.unpack_bits_u8(packed, self.n)
+            out[~nonzero] = 0
+            conv = conv1
+            iters = np.asarray(bp1.iterations)
+            osd0 = out.copy()
+            osdw = out
+            llrs = bp1.llr_posterior
+        else:
+            bucket = 1 << (int(failed.size - 1).bit_length())
+            idx = np.zeros(bucket, np.int32)
+            idx[: failed.size] = failed
+            idx_dev = jnp.asarray(idx)
+            rowvalid = jnp.asarray(np.arange(bucket) < failed.size)
+            syn_f = jnp.take(syn_dev, idx_dev, axis=0) * rowvalid[
+                :, None
+            ].astype(jnp.uint8)
+            bp2 = self._run_bp_batch(syn_f)
+            d0, dw, _ = self._osd_decode_fn()(syn_f, bp2.llr_posterior)
+            packed_w, packed_0, meta = self._epilogue_fn()(
+                bp1.decoding, bp1.converged, bp1.iterations,
+                idx_dev, rowvalid,
+                bp2.decoding, bp2.converged, bp2.iterations, d0, dw,
+            )
+            meta = np.asarray(meta)
+            conv = meta[0].astype(bool) | ~nonzero
+            iters = meta[1]
+            osdw = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_w), self.n)
+            osdw[~nonzero] = 0
+            osd0 = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_0), self.n)
+            osd0[~nonzero] = 0
+            llrs = bp1.llr_posterior
+        out = osdw
+
+        self.converge_batch = conv
+        self.iter_batch = iters
+        self._converge = bool(conv[0])
+        self._iter = int(iters[0])
+        # full-batch llrs/bp-decodings are phase-1's (converged rows are
+        # final there; failed rows' full-depth values live in the bucket)
+        self.log_prob_ratios_batch = bp1.llr_posterior
+        self._bp_decoding_dev = bp1.decoding
+        self._bp_decoding = None
+        if failed.size and failed[0] == 0 and not conv1[0]:
+            # row 0 was a straggler: its final BP state is bucket slot 0
+            self._log_prob_ratios = bp2.llr_posterior[0]
+            self._bp_decoding = bp2.decoding[0]
+        else:
+            self._log_prob_ratios = bp1.llr_posterior[0]
+        self._osd0_decoding = osd0[0]
+        self._osdw_decoding = osdw[0]
+        self._decoding = out[0]
+        self.osd0_decoding_batch = osd0
+        self.osdw_decoding_batch = osdw
+        return out
+
+    @property
+    def bp_decoding_batch(self) -> np.ndarray:
+        return np.asarray(self._bp_decoding_dev)
 
     # ------------------------------------------------------------------
     # result properties (reference: _bposd_decoder.pyx:236-300)
@@ -230,6 +412,8 @@ class BpOsdDecoder(BpDecoderBase):
 
     @property
     def bp_decoding(self) -> np.ndarray:
+        if self._bp_decoding is None:  # pulled from device on demand
+            self._bp_decoding = np.asarray(self._bp_decoding_dev[0])
         return np.asarray(self._bp_decoding).astype(int)
 
     @property

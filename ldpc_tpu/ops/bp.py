@@ -108,8 +108,115 @@ def make_parallel_decoder(
 ):
     """Build a jitted batched parallel-schedule BP decoder.
 
+    Two bodies share the same semantics:
+
+    - f32 (the TPU perf path): gather-only message passing — the
+      variable->check extrinsic is recomputed as ``llr_post[bit] - c2v``
+      at the top of the check update, so each iteration is three row
+      gathers and zero scatters (floating-point association differs from
+      the reference's sequential folds; decisions agree up to fp ties).
+    - f64 (the exact-parity mode used by the golden tests): reproduces
+      the reference's sequential prefix/suffix folds bit-for-bit
+      (bp.hpp:277-318).
+
     Returns ``decode(syndrome_bm: (B, m) uint8, init_llr: (n,)) -> BpResult``.
     """
+    if dtype == jnp.float32:
+        return _make_parallel_decoder_fast(
+            graph, bp_method, max_iter, ms_scaling_factor, dtype
+        )
+    return _make_parallel_decoder_exact(
+        graph, bp_method, max_iter, ms_scaling_factor, dtype
+    )
+
+
+def _make_parallel_decoder_fast(
+    graph: PcmGraph,
+    bp_method: int,
+    max_iter: int,
+    ms_scaling_factor: float,
+    dtype=jnp.float32,
+):
+    """Gather-only batched parallel BP (see make_parallel_decoder)."""
+    m, n, dc, dv = graph.m, graph.n, graph.dc, graph.dv
+    E = m * dc
+    chk_bits = jnp.asarray(graph.chk_bits.reshape(-1))  # (E,) pad = n
+    mask3 = jnp.asarray(graph.chk_mask)[:, :, None]  # (m, dc, 1)
+    var_edges = jnp.asarray(graph.var_edges.reshape(-1))  # (n*dv,) pad = E
+
+    def decode(syndrome_bm: jnp.ndarray, init_llr: jnp.ndarray) -> BpResult:
+        B = syndrome_bm.shape[0]
+        syndrome = syndrome_bm.T.astype(jnp.int32)  # (m, B)
+        init_llr = init_llr.astype(dtype)
+
+        def one_iter(it, llr_post, c2v):
+            if ms_scaling_factor == 0.0 and bp_method == MINIMUM_SUM:
+                alpha = (1.0 - jnp.exp2(-it.astype(dtype))).astype(dtype)
+            else:
+                alpha = jnp.array(ms_scaling_factor, dtype)
+            llr_pad = jnp.concatenate([llr_post, jnp.zeros((1, B), dtype)])
+            v2c3 = llr_pad[chk_bits].reshape(m, dc, B) - c2v  # extrinsic
+            if bp_method == MINIMUM_SUM:
+                c2v = _check_to_bit_min_sum(v2c3, mask3, syndrome, alpha, dtype)
+            else:
+                c2v = _check_to_bit_product_sum(v2c3, mask3, syndrome, dtype)
+            c2v_pad = jnp.concatenate(
+                [c2v.reshape(E, B), jnp.zeros((1, B), dtype)]
+            )
+            per_bit = c2v_pad[var_edges].reshape(n, dv, B)
+            llr_new = init_llr[:, None] + per_bit.sum(axis=1)
+            hard = llr_new <= 0  # (n, B)
+            hard_pad = jnp.concatenate([hard, jnp.zeros((1, B), bool)])
+            cand = hard_pad[chk_bits].reshape(m, dc, B).sum(axis=1) % 2
+            conv_now = jnp.all(cand == syndrome, axis=0)  # (B,)
+            return llr_new, c2v, hard, conv_now
+
+        def body(state):
+            it, llr_post, c2v, conv, dec_out, llr_out, iters = state
+            it = it + 1
+            llr_new, c2v, hard, conv_now = one_iter(it, llr_post, c2v)
+            active = ~conv
+            dec_out = jnp.where(active[None, :], hard, dec_out)
+            llr_out = jnp.where(active[None, :], llr_new, llr_out)
+            iters = jnp.where(active, it, iters)
+            conv = conv | conv_now
+            return (it, llr_new, c2v, conv, dec_out, llr_out, iters)
+
+        def cond(state):
+            it, _, _, conv, _, _, _ = state
+            return (it < max_iter) & ~jnp.all(conv)
+
+        llr0 = jnp.broadcast_to(init_llr[:, None], (n, B))
+        state0 = (
+            jnp.int32(0),
+            llr0,
+            jnp.zeros((m, dc, B), dtype),
+            jnp.zeros(B, bool),
+            jnp.zeros((n, B), bool),
+            llr0,
+            jnp.zeros(B, jnp.int32),
+        )
+        _, _, _, conv, dec, llr_out, iters = jax.lax.while_loop(
+            cond, body, state0
+        )
+        return BpResult(
+            decoding=dec.T.astype(jnp.uint8),
+            llr_posterior=llr_out.T,
+            converged=conv,
+            iterations=iters,
+        )
+
+    return jax.jit(decode)
+
+
+def _make_parallel_decoder_exact(
+    graph: PcmGraph,
+    bp_method: int,
+    max_iter: int,
+    ms_scaling_factor: float,
+    dtype=jnp.float64,
+):
+    """Fold-exact batched parallel BP (see make_parallel_decoder)."""
     m, n, dc = graph.m, graph.n, graph.dc
     E = m * dc
     chk_bits = jnp.asarray(graph.chk_bits.reshape(-1))  # (E,) pad = n

@@ -63,29 +63,37 @@ class RrefResult(NamedTuple):
     valid: jnp.ndarray  # (B,) bool, syndrome in image
 
 
-def batched_rref(H_perm_bits: jnp.ndarray, syndrome: jnp.ndarray) -> RrefResult:
+def batched_rref(
+    H_perm_bits: jnp.ndarray,
+    syndrome: jnp.ndarray,
+    with_transform: bool = True,
+) -> RrefResult:
     """Gauss-Jordan reduce a batch of column-permuted GF(2) systems.
 
     Args:
       H_perm_bits: (B, m, n) uint8 — the PCM with columns gathered in each
         batch element's processing order (most-reliable-pivot order).
       syndrome: (B, m) uint8.
+      with_transform: also carry the m x m row-transform block (needed for
+        re-solving against shifted syndromes, e.g. OSD-w candidates); skip
+        it for plain solves — a third less elimination traffic.
     """
     B, m, n = H_perm_bits.shape
-    # augmented: [H_perm | syndrome | I_m], packed along columns
-    aug_bits = jnp.concatenate(
-        [
-            H_perm_bits.astype(jnp.uint8),
-            syndrome[:, :, None].astype(jnp.uint8),
-            jnp.broadcast_to(jnp.eye(m, dtype=jnp.uint8)[None], (B, m, m)),
-        ],
-        axis=2,
-    )
+    # augmented: [H_perm | syndrome (| I_m)], packed along columns
+    blocks = [
+        H_perm_bits.astype(jnp.uint8),
+        syndrome[:, :, None].astype(jnp.uint8),
+    ]
+    if with_transform:
+        blocks.append(
+            jnp.broadcast_to(jnp.eye(m, dtype=jnp.uint8)[None], (B, m, m))
+        )
+    aug_bits = jnp.concatenate(blocks, axis=2)
     M0 = pack_u32(aug_bits)  # (B, m, W)
     row_ids = jnp.arange(m, dtype=jnp.int32)
 
-    def step(j, carry):
-        M, used, piv_row_of_col = carry
+    def step(carry):
+        M, used, piv_row_of_col, j = carry
         w = j // 32
         b = (j % 32).astype(jnp.uint32)
         col = (jax.lax.dynamic_index_in_dim(M, w, axis=2, keepdims=False) >> b) & 1
@@ -99,19 +107,29 @@ def batched_rref(H_perm_bits: jnp.ndarray, syndrome: jnp.ndarray) -> RrefResult:
         M = jnp.where(elim[:, :, None], M ^ piv_vec, M)
         used = used | (is_piv_row & has[:, None])
         piv_row_of_col = piv_row_of_col.at[:, j].set(jnp.where(has, piv, m))
-        return (M, used, piv_row_of_col)
+        return (M, used, piv_row_of_col, j + 1)
+
+    def cond(carry):
+        _, used, _, j = carry
+        # once every element has consumed all its rows, the remaining
+        # columns can't pivot — stop (big win when n >> rank)
+        return (j < n) & ~jnp.all(used)
 
     carry0 = (
         M0,
         jnp.zeros((B, m), bool),
         jnp.full((B, n), m, dtype=jnp.int32),
+        jnp.int32(0),
     )
-    M, used, piv_row_of_col = jax.lax.fori_loop(0, n, step, carry0)
+    M, used, piv_row_of_col, _ = jax.lax.while_loop(cond, step, carry0)
 
     is_pivot = piv_row_of_col < m
-    all_bits = unpack_u32(M, n + 1 + m)
+    all_bits = unpack_u32(M, n + 1 + (m if with_transform else 0))
     synd_red = all_bits[:, :, n]  # (B, m): reduced syndrome bit per row
-    transform = pack_u32(all_bits[:, :, n + 1 :])  # (B, m, Wm)
+    if with_transform:
+        transform = pack_u32(all_bits[:, :, n + 1 :])  # (B, m, Wm)
+    else:
+        transform = jnp.zeros((B, m, 1), jnp.uint32)
     # solution: x[col] = reduced syndrome bit at that column's pivot row
     synd_pad = jnp.concatenate([synd_red, jnp.zeros((B, 1), jnp.uint8)], axis=1)
     x0 = jnp.where(
@@ -151,6 +169,33 @@ def apply_transform(transform: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> jnp.uint32(1))
     parity = (x & jnp.uint32(1)).astype(jnp.uint8)
     return parity.sum(axis=-1) % 2  # XOR across words
+
+
+def pack_bits_u8(bits: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (..., n) 0/1 array into (..., ceil(n/8)) uint8 (LSB-first).
+
+    Device-side output compression: host-to-device links can be
+    latency/bandwidth bound (e.g. tunneled chips), so decode results
+    travel bit-packed and are expanded host-side with
+    ``np.unpackbits(..., bitorder='little')``.
+    """
+    n = bits.shape[-1]
+    W = -(-n // 8)
+    pad = W * 8 - n
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+    by = bits.reshape(bits.shape[:-1] + (W, 8)).astype(jnp.uint8)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    return (by << shifts).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits_u8(packed: np.ndarray, n: int) -> np.ndarray:
+    """Host-side inverse of :func:`pack_bits_u8` (numpy, C-speed)."""
+    return np.unpackbits(
+        np.asarray(packed, np.uint8), axis=-1, count=n, bitorder="little"
+    )
 
 
 def batched_rank(dense: np.ndarray) -> int:

@@ -186,6 +186,10 @@ def make_lsd_decoder(
         in_bit, res, order = jax.lax.fori_loop(
             0, W, dim_round, (in_bit, res, order)
         )
+        # final solve carries the row transform for the candidate sweep
+        res, order = masked_solve(
+            graph, in_bit, syndromes, llrs, dtype, with_transform=True
+        )
 
         labels, _ = _propagate_labels(graph, in_bit, seed_checks)
         collab = bit_labels(labels, in_bit)

@@ -94,7 +94,9 @@ def make_osd_decoder(
         # mirror qsort's deterministic handling of distinct keys
         order = jnp.argsort(llrs, axis=1, stable=True).astype(jnp.int32)
         H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
-        res = gf2.batched_rref(H_perm, syndromes.astype(jnp.uint8))
+        res = gf2.batched_rref(
+            H_perm, syndromes.astype(jnp.uint8), with_transform=not order0
+        )
         dec0 = (
             jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(res.x0)
         )

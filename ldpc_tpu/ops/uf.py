@@ -122,7 +122,14 @@ def _grow(graph: PcmGraph, in_bit, labels, chk_invalid, llrs, bits_per_step, dty
 # ----------------------------------------------------------------------
 # inversion (matrix) mode
 # ----------------------------------------------------------------------
-def masked_solve(graph: PcmGraph, in_bit, syndromes, llrs, dtype=jnp.float32):
+def masked_solve(
+    graph: PcmGraph,
+    in_bit,
+    syndromes,
+    llrs,
+    dtype=jnp.float32,
+    with_transform: bool = False,
+):
     """Gauss-Jordan of the column-masked PCM in ascending-LLR order
     (pivots land on the most error-likely bits, mirroring the
     soft-guided insertion order of the reference's cluster solve).
@@ -135,7 +142,7 @@ def masked_solve(graph: PcmGraph, in_bit, syndromes, llrs, dtype=jnp.float32):
     H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
     colmask = jnp.take_along_axis(in_bit, order, axis=1)
     H_perm = H_perm * colmask[:, None, :].astype(jnp.uint8)
-    res = gf2.batched_rref(H_perm, syndromes)
+    res = gf2.batched_rref(H_perm, syndromes, with_transform=with_transform)
     return res, order
 
 
