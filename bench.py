@@ -23,7 +23,7 @@ DISTANCE = 13
 ERROR_RATE = 0.01
 MAX_ITER = 30
 MS_FACTOR = 0.625
-BATCH = 16384
+BATCH = 65536
 TIMED_ROUNDS = 3
 BASELINE_SYNDROMES = 3000
 # recorded single-core reference rate on this machine class (c.f. commit log)

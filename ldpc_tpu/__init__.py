@@ -21,6 +21,17 @@ __version__ = "0.1.0"
 
 from ldpc_tpu import codes, helpers, mod2  # noqa: F401
 
+_LAZY_SUBMODULES = (
+    "alist",
+    "ckt_noise",
+    "code_util",
+    "monte_carlo_simulation",
+    "noise_models",
+    "parallel",
+    "protograph",
+    "sinter_decoders",
+)
+
 _DECODER_EXPORTS = {
     "BpDecoder": "ldpc_tpu.decoders.bp_decoder",
     "SoftInfoBpDecoder": "ldpc_tpu.decoders.bp_decoder",
@@ -40,13 +51,20 @@ _DECODER_EXPORTS = {
 
 
 def __getattr__(name):
-    """Lazy decoder imports (keeps `import ldpc_tpu` light and cycle-free)."""
-    if name in _DECODER_EXPORTS:
-        import importlib
+    """Lazy decoder/submodule imports (keeps `import ldpc_tpu` light and
+    cycle-free)."""
+    import importlib
 
+    if name in _DECODER_EXPORTS:
         module = importlib.import_module(_DECODER_EXPORTS[name])
         return getattr(module, name)
+    if name in _LAZY_SUBMODULES:
+        return importlib.import_module(f"ldpc_tpu.{name}")
     raise AttributeError(f"module 'ldpc_tpu' has no attribute '{name}'")
 
 
-__all__ = ["codes", "helpers", "mod2", "__version__"] + list(_DECODER_EXPORTS)
+__all__ = (
+    ["codes", "helpers", "mod2", "__version__"]
+    + list(_DECODER_EXPORTS)
+    + list(_LAZY_SUBMODULES)
+)

@@ -185,8 +185,11 @@ class BpOsdDecoder(BpDecoderBase):
 
     def _epilogue_fn(self):
         """Fused device epilogue: pick BP-vs-OSD per element, scatter the
-        subset back into the full batch, bit-pack outputs, pack metadata.
-        One dispatch, two pulls."""
+        subset back into the full batch, bit-pack outputs and metadata
+        into ONE uint8 buffer — transfer latency on tunneled chips makes
+        every extra pull cost ~10s of ms, so everything the host needs
+        travels in a single row-major array. The OSD-0 decodings stay on
+        device (second return) and are pulled lazily on property access."""
         fn = self._decoder_cache.get("epilogue")
         if fn is None:
             import jax
@@ -205,12 +208,16 @@ class BpOsdDecoder(BpDecoderBase):
                 conv = conv.at[idxs].set(conv2)[:B]
                 iters = jnp.concatenate([iters1, jnp.zeros(1, jnp.int32)])
                 iters = iters.at[idxs].set(iters2)[:B]
-                meta = jnp.stack([conv.astype(jnp.int32), iters])
-                return (
-                    osd_ops.gf2.pack_bits_u8(outw),
-                    osd_ops.gf2.pack_bits_u8(out0),
-                    meta,
+                # combined row: [packed decoding | conv byte | iters int32]
+                combined = jnp.concatenate(
+                    [
+                        osd_ops.gf2.pack_bits_u8(outw),
+                        conv.astype(jnp.uint8)[:, None],
+                        jax.lax.bitcast_convert_type(iters, jnp.uint8),
+                    ],
+                    axis=1,
                 )
+                return combined, osd_ops.gf2.pack_bits_u8(out0)
 
             fn = jax.jit(epilogue)
             self._decoder_cache["epilogue"] = fn
@@ -319,10 +326,11 @@ class BpOsdDecoder(BpDecoderBase):
         self._iter = int(self.iter_batch[0])
         self._log_prob_ratios = bp.llr_posterior[0]
         self._bp_decoding = None
-        self._osd0_decoding = osd0[0]
+        self._nonzero_mask = nonzero
+        self._osd0_batch = osd0
+        self._osd0_packed_dev = None
         self._osdw_decoding = osdw[0]
         self._decoding = out[0]
-        self.osd0_decoding_batch = osd0
         self.osdw_decoding_batch = osdw
         return out
 
@@ -350,6 +358,7 @@ class BpOsdDecoder(BpDecoderBase):
             iters = np.asarray(bp1.iterations)
             osd0 = out.copy()
             osdw = out
+            self._osd0_packed_dev = None
             llrs = bp1.llr_posterior
         else:
             bucket = 1 << (int(failed.size - 1).bit_length())
@@ -362,18 +371,23 @@ class BpOsdDecoder(BpDecoderBase):
             ].astype(jnp.uint8)
             bp2 = self._run_bp_batch(syn_f)
             d0, dw, _ = self._osd_decode_fn()(syn_f, bp2.llr_posterior)
-            packed_w, packed_0, meta = self._epilogue_fn()(
+            combined, packed_0 = self._epilogue_fn()(
                 bp1.decoding, bp1.converged, bp1.iterations,
                 idx_dev, rowvalid,
                 bp2.decoding, bp2.converged, bp2.iterations, d0, dw,
             )
-            meta = np.asarray(meta)
-            conv = meta[0].astype(bool) | ~nonzero
-            iters = meta[1]
-            osdw = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_w), self.n)
+            combined = np.asarray(combined)  # the ONE device->host pull
+            Wb = -(-self.n // 8)
+            conv = combined[:, Wb].astype(bool) | ~nonzero
+            iters = (
+                np.ascontiguousarray(combined[:, Wb + 1 : Wb + 5])
+                .view(np.int32)
+                .ravel()
+            )
+            osdw = osd_ops.gf2.unpack_bits_u8(combined[:, :Wb], self.n)
             osdw[~nonzero] = 0
-            osd0 = osd_ops.gf2.unpack_bits_u8(np.asarray(packed_0), self.n)
-            osd0[~nonzero] = 0
+            self._osd0_packed_dev = packed_0  # pulled lazily
+            osd0 = None
             llrs = bp1.llr_posterior
         out = osdw
 
@@ -392,10 +406,10 @@ class BpOsdDecoder(BpDecoderBase):
             self._bp_decoding = bp2.decoding[0]
         else:
             self._log_prob_ratios = bp1.llr_posterior[0]
-        self._osd0_decoding = osd0[0]
+        self._nonzero_mask = nonzero
+        self._osd0_batch = osd0  # None when only the packed device copy exists
         self._osdw_decoding = osdw[0]
         self._decoding = out[0]
-        self.osd0_decoding_batch = osd0
         self.osdw_decoding_batch = osdw
         return out
 
@@ -417,10 +431,22 @@ class BpOsdDecoder(BpDecoderBase):
         return np.asarray(self._bp_decoding).astype(int)
 
     @property
+    def osd0_decoding_batch(self) -> np.ndarray:
+        """OSD-0 decodings for the whole batch (pulled from the device
+        packed copy on first access)."""
+        if self._osd0_batch is None:
+            arr = osd_ops.gf2.unpack_bits_u8(
+                np.asarray(self._osd0_packed_dev), self.n
+            )
+            arr[~self._nonzero_mask] = 0
+            self._osd0_batch = arr
+        return self._osd0_batch
+
+    @property
     def osd0_decoding(self) -> np.ndarray:
         if self._converge:
-            return np.asarray(self._bp_decoding).astype(int)
-        return np.asarray(self._osd0_decoding).astype(int)
+            return self.bp_decoding
+        return np.asarray(self.osd0_decoding_batch[0]).astype(int)
 
     @property
     def osdw_decoding(self) -> np.ndarray:

@@ -1,0 +1,28 @@
+"""Monte-Carlo simulation harnesses.
+
+API parity with ``ldpc.monte_carlo_simulation`` (reference:
+src_python/ldpc/monte_carlo_simulation/), re-designed batch-first: the
+TPU decode path wants thousands of syndromes per dispatch, so the BSC
+simulation samples and decodes whole batches instead of the reference's
+one-syndrome-per-loop (mcs.py:116-149).
+"""
+
+from ldpc_tpu.monte_carlo_simulation.mcs import (  # noqa: F401
+    MonteCarloBscSimulation,
+)
+from ldpc_tpu.monte_carlo_simulation.data_utils import BpParams  # noqa: F401
+from ldpc_tpu.monte_carlo_simulation.memory_experiment import (  # noqa: F401
+    build_multiround_pcm,
+    decode_multiround,
+    move_syndrome,
+)
+from ldpc_tpu.monte_carlo_simulation import simulation_utils  # noqa: F401
+
+__all__ = [
+    "MonteCarloBscSimulation",
+    "BpParams",
+    "build_multiround_pcm",
+    "decode_multiround",
+    "move_syndrome",
+    "simulation_utils",
+]
