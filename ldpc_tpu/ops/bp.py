@@ -54,9 +54,11 @@ class BpResult(NamedTuple):
 
 
 def channel_llr(error_channel: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """log((1-p)/p) per bit (bp.hpp:150-151)."""
+    """log((1-p)/p) per bit (bp.hpp:150-151); p=0 -> +inf ("certainly
+    not flipped"), matching the reference's IEEE semantics."""
     p = np.asarray(error_channel, dtype=np.float64)
-    return (np.log((1.0 - p) / p)).astype(dtype)
+    with np.errstate(divide="ignore"):
+        return (np.log((1.0 - p) / p)).astype(dtype)
 
 
 def _check_to_bit_min_sum(v2c3, mask3, syndrome_i, alpha, dtype):

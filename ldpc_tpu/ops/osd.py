@@ -77,9 +77,10 @@ def make_osd_decoder(
     H_dev = jnp.asarray(graph.dense)  # (m, n) uint8
     rank = gf2.batched_rank(graph.dense)
     k = n - rank
-    weights = jnp.asarray(
-        np.log(1.0 / np.asarray(channel, dtype=np.float64)), dtype
-    )
+    with np.errstate(divide="ignore"):
+        weights = jnp.asarray(
+            np.log(1.0 / np.asarray(channel, dtype=np.float64)), dtype
+        )
     order0 = osd_method in (OSD_0, OSD_OFF) or osd_order == 0 or k == 0
     cands = (
         None
