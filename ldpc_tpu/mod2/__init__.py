@@ -171,6 +171,41 @@ def estimate_code_distance(
     saved = saved[:number_of_words_to_save]
     min_distance = min((int(w.sum()) for w in saved), default=n)
 
+    from ldpc_tpu.mod2._gf2core import _native_lib
+
+    native = _native_lib()
+    if native is not None:
+        # native randomized search (ldpc_tpu/native/gf2core.cpp)
+        import ctypes
+
+        W = packed_ker.shape[1]
+        n_save = number_of_words_to_save
+        saved_packed = np.zeros((n_save, W), np.uint64)
+        saved_wts = np.zeros(n_save, np.int32)
+        for i, w in enumerate(saved[:n_save]):
+            saved_packed[i] = pack_rows(w[None, :])[0]
+            saved_wts[i] = int(w.sum())
+        minw = np.array([min_distance], np.int32)
+        pk = np.ascontiguousarray(packed_ker)
+        samples = native.gf2_estimate_distance(
+            pk.ctypes.data_as(ctypes.c_void_p),
+            k,
+            W,
+            timeout_seconds * 1000.0,
+            int(rng.integers(1, 2**63)),
+            minw.ctypes.data_as(ctypes.c_void_p),
+            saved_packed.ctypes.data_as(ctypes.c_void_p),
+            saved_wts.ctypes.data_as(ctypes.c_void_p),
+            n_save,
+        )
+        min_distance = int(minw[0])
+        order = np.argsort(np.where(saved_wts == 0, np.iinfo(np.int32).max, saved_wts))
+        words = np.zeros((n_save, n), dtype=np.uint8)
+        filled = unpack_rows(saved_packed[order], n)
+        keep = saved_wts[order] > 0
+        words[: keep.sum()] = filled[keep]
+        return min_distance, int(samples), scipy.sparse.csr_matrix(words)
+
     start = time.perf_counter()
     samples = 0
     # Vectorized batches of random combinations.

@@ -20,6 +20,13 @@ import scipy.sparse
 ArrayLike = Union[np.ndarray, scipy.sparse.spmatrix]
 
 
+def _native_lib():
+    """The compiled gf2core backend, or None (numpy fallback)."""
+    from ldpc_tpu.native import load_gf2core
+
+    return load_gf2core()
+
+
 def to_dense_uint8(matrix: ArrayLike) -> np.ndarray:
     """Coerce input to a dense uint8 numpy array (values 0/1)."""
     if isinstance(matrix, scipy.sparse.spmatrix):
@@ -76,7 +83,41 @@ def packed_row_reduce(
     Returns ``(packed, rank, pivot_cols, row_perm)`` where ``row_perm`` is
     the final ordering of original row indices (echelon row i =
     original row ``row_perm[i]``).
+
+    Dispatches to the native gf2core backend (ldpc_tpu/native/gf2core.cpp)
+    when available; the numpy path below is the reference fallback with
+    identical pivoting semantics.
     """
+    native = _native_lib()
+    if native is not None:
+        import ctypes
+
+        m = packed.shape[0]
+        W = packed.shape[1]
+        packed = np.ascontiguousarray(packed)
+        pivot_buf = np.full(max(n, 1), -1, dtype=np.int32)
+        perm_buf = np.arange(m, dtype=np.int32)
+        order_arr = (
+            None
+            if col_order is None
+            else np.ascontiguousarray(np.asarray(col_order, dtype=np.int32))
+        )
+        rank = native.gf2_row_reduce(
+            packed.ctypes.data_as(ctypes.c_void_p),
+            m,
+            W,
+            n,
+            1 if full else 0,
+            -1 if stop_rank is None else int(stop_rank),
+            None
+            if order_arr is None
+            else order_arr.ctypes.data_as(ctypes.c_void_p),
+            pivot_buf.ctypes.data_as(ctypes.c_void_p),
+            perm_buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        return packed, rank, [int(v) for v in pivot_buf[:rank]], list(
+            map(int, perm_buf)
+        )
     m = packed.shape[0]
     order = range(n) if col_order is None else col_order
     rank = 0

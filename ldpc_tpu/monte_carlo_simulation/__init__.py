@@ -17,6 +17,10 @@ from ldpc_tpu.monte_carlo_simulation.memory_experiment import (  # noqa: F401
     move_syndrome,
 )
 from ldpc_tpu.monte_carlo_simulation import simulation_utils  # noqa: F401
+from ldpc_tpu.monte_carlo_simulation.quasi_single_shot import (  # noqa: F401
+    QssSimulator,
+    QSS_SimulatorV2,
+)
 
 __all__ = [
     "MonteCarloBscSimulation",
@@ -25,4 +29,6 @@ __all__ = [
     "decode_multiround",
     "move_syndrome",
     "simulation_utils",
+    "QssSimulator",
+    "QSS_SimulatorV2",
 ]
