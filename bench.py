@@ -24,7 +24,8 @@ ERROR_RATE = 0.01
 MAX_ITER = 30
 MS_FACTOR = 0.625
 BATCH = 65536
-TIMED_ROUNDS = 3
+TIMED_ROUNDS = 7  # median-of-rounds: the tunneled host link has multi-second
+# outliers unrelated to decode throughput (see PROGRESS notes)
 BASELINE_SYNDROMES = 3000
 # recorded single-core reference rate on this machine class (c.f. commit log)
 FALLBACK_BASELINE_RATE = 9000.0
@@ -60,11 +61,14 @@ def measure_tpu(code, H, syndromes):
     )
     out = dec.decode_batch(syndromes)  # warmup + compile
     assert ((out @ H.T) % 2 == syndromes).all(), "decode invalid"
-    t0 = time.perf_counter()
+    times = []
     for _ in range(TIMED_ROUNDS):
+        t0 = time.perf_counter()
         dec.decode_batch(syndromes)
-    dt = time.perf_counter() - t0
-    return TIMED_ROUNDS * syndromes.shape[0] / dt
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]  # median round
+    return syndromes.shape[0] / dt
 
 
 def measure_baseline(H, syndromes):

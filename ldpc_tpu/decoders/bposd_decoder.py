@@ -12,6 +12,7 @@ from typing import List, Optional, Union
 import numpy as np
 import scipy.sparse
 
+import jax
 import jax.numpy as jnp
 
 from ldpc_tpu.decoders.base import BpDecoderBase
@@ -23,6 +24,37 @@ _METHOD_NAMES = {
     osd_ops.COMBINATION_SWEEP: "OSD_CS",
     osd_ops.OSD_OFF: "OSD_OFF",
 }
+
+
+class _LazyChunks:
+    """np-convertible view over device-resident result chunks (pulled only
+    on first host access — D2H over a tunneled link is the slow path)."""
+
+    def __init__(self, chunks, total):
+        self._chunks = chunks
+        self._total = total
+        self._np = None
+
+    def _materialize(self):
+        if self._np is None:
+            self._np = np.concatenate(
+                [np.asarray(c) for c in self._chunks], axis=0
+            )[: self._total]
+        return self._np
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self._materialize()
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __getitem__(self, item):
+        return self._materialize()[item]
+
+    def __len__(self):
+        return self._total
+
+    @property
+    def shape(self):
+        return (self._total,) + tuple(self._chunks[0].shape[1:])
 
 
 class BpOsdDecoder(BpDecoderBase):
@@ -258,6 +290,159 @@ class BpOsdDecoder(BpDecoderBase):
             self._decoder_cache["pack"] = fn
         return fn
 
+    # ------------------------------------------------------------------
+    # fused single-dispatch TPU path (pallas BP + pallas OSD-0)
+    # ------------------------------------------------------------------
+    def _tpu_fused_fn(self, Bpad: int, K: int):
+        """One jitted program per chunk: unpack packed syndromes ->
+        fused-VMEM BP -> device top-K compaction of non-converged elements
+        -> fused GF(2) elimination (OSD-0) -> merge + bit-pack. The host
+        pulls only the packed decodings and a tiny metadata vector
+        (packed converged bits + iteration counts + failure count); BP
+        LLRs/decodings stay on device and are pulled lazily on property
+        access. The failure count lets the host detect (rare) bucket
+        overflow without an extra sync."""
+        key = ("tpu_fused", self._config_key(), Bpad, K)
+        fn = self._decoder_cache.get(key)
+        if fn is not None:
+            return fn
+        from ldpc_tpu.ops import bp_pallas, gf2_pallas
+        from ldpc_tpu.ops.gf2 import pack_bits_u8, unpack_bits_u8_device
+
+        graph = self.graph
+        m, n = self.m, self.n
+        bp_fn = bp_pallas.make_parallel_decoder_pallas(
+            graph, self._bp_method, self._max_iter, self._ms_scaling_factor
+        )
+        osd_fn = (
+            gf2_pallas.make_osd0_solver(graph)
+            if self._osd_method != osd_ops.OSD_OFF and K > 0
+            else None
+        )
+        init_llr = jnp.asarray(self._init_llr())
+
+        def program(packed_syn):
+            syn = unpack_bits_u8_device(packed_syn, m)  # (Bpad, m) uint8
+            bp = bp_fn(syn, init_llr)
+            nonzero = syn.any(axis=1)
+            conv_eff = bp.converged | ~nonzero
+            if osd_fn is not None:
+                order = jnp.argsort(conv_eff, stable=True)  # failed first
+                idx = order[:K]
+                syn_f = jnp.take(syn, idx, axis=0)
+                llr_f = jnp.take(bp.llr_posterior, idx, axis=0)
+                x0, _ = osd_fn(syn_f, llr_f)
+                rowfail = ~jnp.take(conv_eff, idx)
+                bp_rows = jnp.take(bp.decoding, idx, axis=0)
+                merged = jnp.where(rowfail[:, None], x0, bp_rows)
+                out = bp.decoding.at[idx].set(merged)
+            else:
+                out = bp.decoding
+            out = out * nonzero[:, None].astype(out.dtype)
+            nfail = (~conv_eff).sum().astype(jnp.int32)
+            packed_dec = pack_bits_u8(out)  # (Bpad, ceil(n/8))
+            meta = jnp.concatenate(
+                [
+                    pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
+                    jax.lax.bitcast_convert_type(nfail, jnp.uint8),
+                    jax.lax.bitcast_convert_type(
+                        bp.iterations, jnp.uint8
+                    ).reshape(-1),
+                ]
+            )  # (Bpad/8 + 4 + 4*Bpad,) uint8
+            return packed_dec, meta, bp.llr_posterior, bp.decoding
+
+        fn = jax.jit(program)
+        self._decoder_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _round_up(x: int, mult: int) -> int:
+        return -(-x // mult) * mult
+
+    _TPU_CHUNK = 16384
+
+    def _decode_batch_tpu(self, syndromes: np.ndarray, nonzero) -> np.ndarray:
+        """Chunked pipeline over the tunnel: each chunk's H2D/compute/D2H
+        overlaps the neighbours' via JAX async dispatch +
+        ``copy_to_host_async`` — the slow link never idles the chip."""
+        B0 = syndromes.shape[0]
+        packed_all = np.packbits(syndromes, axis=1, bitorder="little")
+        CH = self._TPU_CHUNK
+        starts = list(range(0, B0, CH)) or [0]
+        launches = []
+        for st in starts:
+            chunk = packed_all[st : st + CH]
+            Bc = chunk.shape[0]
+            Bpad = (
+                self._round_up(Bc, 512)
+                if Bc >= 512
+                else max(128, self._round_up(Bc, 128))
+            )
+            K = min(Bpad, max(128, self._round_up(Bpad // 8, 128)))
+            if Bpad != Bc:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
+                )
+            dev = jnp.asarray(chunk)
+            pd, meta, llrs, bpd = self._tpu_fused_fn(Bpad, K)(dev)
+            pd.copy_to_host_async()
+            meta.copy_to_host_async()
+            launches.append((st, Bc, Bpad, K, dev, pd, meta, llrs, bpd))
+
+        Wb = -(-self.n // 8)
+        out = np.empty((B0, self.n), np.uint8)
+        conv = np.empty(B0, bool)
+        iters = np.empty(B0, np.int32)
+        llr_chunks, bpd_chunks = [], []
+        for st, Bc, Bpad, K, dev, pd, meta, llrs, bpd in launches:
+            meta_np = np.asarray(meta)
+            nfail = int(
+                np.ascontiguousarray(meta_np[Bpad // 8 : Bpad // 8 + 4])
+                .view(np.int32)[0]
+            )
+            if nfail > K:  # bucket overflow: redo chunk with a full bucket
+                pd, meta, llrs, bpd = self._tpu_fused_fn(Bpad, Bpad)(dev)
+                meta_np = np.asarray(meta)
+            pd_np = np.asarray(pd)
+            conv_bits = np.unpackbits(
+                meta_np[: Bpad // 8], count=Bc, bitorder="little"
+            ).astype(bool)
+            it_np = (
+                np.ascontiguousarray(meta_np[Bpad // 8 + 4 :])
+                .view(np.int32)[:Bc]
+            )
+            out[st : st + Bc] = osd_ops.gf2.unpack_bits_u8(
+                pd_np[:Bc], self.n
+            )
+            conv[st : st + Bc] = conv_bits
+            iters[st : st + Bc] = it_np
+            llr_chunks.append(llrs)
+            bpd_chunks.append(bpd)
+
+        conv |= ~nonzero
+        out[~nonzero] = 0
+
+        self.converge_batch = conv
+        self.iter_batch = iters
+        self._converge = bool(conv[0])
+        self._iter = int(iters[0])
+        # device-resident per-chunk results; concatenated lazily on access
+        self._llr_chunks = llr_chunks
+        self._bpd_chunks = bpd_chunks
+        self._llr_batch_cache = None
+        self.log_prob_ratios_batch = _LazyChunks(llr_chunks, B0)
+        self._bp_decoding_dev = _LazyChunks(bpd_chunks, B0)
+        self._bp_decoding = None
+        self._log_prob_ratios = llr_chunks[0][0]
+        self._nonzero_mask = nonzero
+        self._osd0_batch = out  # OSD-0 == OSD-w at order 0
+        self._osd0_packed_dev = None
+        self._osdw_decoding = out[0]
+        self._decoding = out[0]
+        self.osdw_decoding_batch = out
+        return out
+
     def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
         """Decode a (B, m) batch: batched BP, then one OSD program over the
         compacted non-converged subset.
@@ -273,10 +458,19 @@ class BpOsdDecoder(BpDecoderBase):
             )
         B = syndromes.shape[0]
         nonzero = syndromes.any(axis=1)
-        syn_dev = jnp.asarray(syndromes)
 
         from ldpc_tpu.ops import bp as bp_ops
 
+        use_tpu_fused = (
+            jax.default_backend() == "tpu"
+            and self._schedule == bp_ops.PARALLEL
+            and self._dtype == jnp.float32
+            and self._osd_method in (osd_ops.OSD_0, osd_ops.OSD_OFF)
+        )
+        if use_tpu_fused:
+            return self._decode_batch_tpu(syndromes, nonzero)
+
+        syn_dev = jnp.asarray(syndromes)
         use_cascade = (
             self._schedule == bp_ops.PARALLEL
             and self._max_iter > self._CASCADE_ITERS

@@ -198,6 +198,15 @@ def unpack_bits_u8(packed: np.ndarray, n: int) -> np.ndarray:
     )
 
 
+def unpack_bits_u8_device(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_bits_u8` for bit-packed inputs
+    (hosts ship syndromes packed — the H2D link is the bottleneck on
+    tunneled chips)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :n]
+
+
 def batched_rank(dense: np.ndarray) -> int:
     """Host-side rank helper (order-invariant)."""
     from ldpc_tpu.mod2._gf2core import pack_rows, packed_row_reduce

@@ -1,0 +1,95 @@
+"""Pallas kernel parity vs the XLA engines (interpreter mode on CPU).
+
+The fused TPU kernels (ops/bp_pallas.py, ops/gf2_pallas.py) are designed
+to reproduce the XLA engines' results exactly (same pivot choices, same
+message values up to summation association). These tests run them in
+Pallas interpreter mode so CI without a TPU still covers the kernel
+logic end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_tpu.codes import surface_code, hamming_code
+from ldpc_tpu.ops import bp as bp_ops
+from ldpc_tpu.ops import osd as osd_ops
+from ldpc_tpu.ops.pcm import compile_pcm
+
+
+@pytest.fixture(scope="module")
+def workload():
+    code = surface_code(3)
+    graph = compile_pcm(code.hx)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    rng = np.random.default_rng(11)
+    B = 128
+    errors = (rng.random((B, graph.n)) < 0.08).astype(np.uint8)
+    syn = (errors @ H.T % 2).astype(np.uint8)
+    llr = jnp.asarray(bp_ops.channel_llr(np.full(graph.n, 0.08)))
+    return graph, H, jnp.asarray(syn), llr
+
+
+@pytest.mark.parametrize("method", [bp_ops.MINIMUM_SUM, bp_ops.PRODUCT_SUM])
+def test_bp_pallas_matches_xla(workload, method):
+    from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
+
+    graph, H, syn, llr = workload
+    pfn = make_parallel_decoder_pallas(graph, method, 8, 0.625, interpret=True)
+    xfn = bp_ops.make_parallel_decoder(graph, method, 8, 0.625)
+    rp = pfn(syn, llr)
+    rx = xfn(syn, llr)
+    assert (np.asarray(rp.converged) == np.asarray(rx.converged)).all()
+    assert (np.asarray(rp.iterations) == np.asarray(rx.iterations)).all()
+    # decisions may differ on exact fp ties (bit-side summation order);
+    # none occur on this workload
+    assert (np.asarray(rp.decoding) == np.asarray(rx.decoding)).all()
+
+
+def test_bp_pallas_dynamic_alpha(workload):
+    from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
+
+    graph, H, syn, llr = workload
+    pfn = make_parallel_decoder_pallas(
+        graph, bp_ops.MINIMUM_SUM, 6, 0.0, interpret=True
+    )
+    xfn = bp_ops.make_parallel_decoder(graph, bp_ops.MINIMUM_SUM, 6, 0.0)
+    rp, rx = pfn(syn, llr), xfn(syn, llr)
+    assert (np.asarray(rp.converged) == np.asarray(rx.converged)).all()
+    assert (np.asarray(rp.decoding) == np.asarray(rx.decoding)).all()
+
+
+def test_osd0_pallas_matches_xla(workload):
+    from ldpc_tpu.ops.gf2_pallas import make_osd0_solver
+
+    graph, H, syn, llr = workload
+    xfn = bp_ops.make_parallel_decoder(graph, bp_ops.MINIMUM_SUM, 5, 0.625)
+    rx = xfn(syn, llr)
+    solver = make_osd0_solver(graph, interpret=True)
+    x0, valid = solver(syn, rx.llr_posterior)
+    osd_fn = osd_ops.make_osd_decoder(
+        graph, np.full(graph.n, 0.08), osd_ops.OSD_0, 0
+    )
+    d0, _, v = osd_fn(syn, rx.llr_posterior)
+    assert (np.asarray(x0) == np.asarray(d0)).all()
+    assert (np.asarray(valid) == np.asarray(v)).all()
+    syn_np = np.asarray(syn)
+    ok = ((np.asarray(x0) @ H.T) % 2 == syn_np).all(axis=1)
+    assert ok.all()
+
+
+def test_bp_pallas_pads_odd_batches(workload):
+    from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
+
+    graph, H, syn, llr = workload
+    pfn = make_parallel_decoder_pallas(
+        graph, bp_ops.MINIMUM_SUM, 5, 0.625, interpret=True
+    )
+    r_small = pfn(syn[:100], llr)
+    r_full = pfn(syn, llr)
+    assert r_small.decoding.shape == (100, graph.n)
+    assert (
+        np.asarray(r_small.decoding) == np.asarray(r_full.decoding)[:100]
+    ).all()
