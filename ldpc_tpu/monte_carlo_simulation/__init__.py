@@ -17,6 +17,10 @@ from ldpc_tpu.monte_carlo_simulation.memory_experiment import (  # noqa: F401
     move_syndrome,
 )
 from ldpc_tpu.monte_carlo_simulation import simulation_utils  # noqa: F401
+from ldpc_tpu.monte_carlo_simulation.device_mc import (  # noqa: F401
+    DeviceMonteCarlo,
+    make_mc_decoder_step,
+)
 from ldpc_tpu.monte_carlo_simulation.quasi_single_shot import (  # noqa: F401
     QssSimulator,
     QSS_SimulatorV2,
@@ -24,6 +28,8 @@ from ldpc_tpu.monte_carlo_simulation.quasi_single_shot import (  # noqa: F401
 
 __all__ = [
     "MonteCarloBscSimulation",
+    "DeviceMonteCarlo",
+    "make_mc_decoder_step",
     "BpParams",
     "build_multiround_pcm",
     "decode_multiround",

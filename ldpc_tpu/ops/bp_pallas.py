@@ -156,46 +156,50 @@ def _bp_kernel_body(
             out.append(mk * sgn * jnp.log((1.0 + p) / (1.0 - p)))
         return out
 
-    def one_iter(itvec, llr, c2v):
-        # itvec is a (1, TB) f32 iteration counter: Mosaic rejects
-        # traced-scalar -> vector broadcasts inside the loop, so every
-        # per-iteration scalar lives as a lane vector instead
+    def body(state):
+        # Body t consumes llr_{t-1} (itvec = t-1 completed iterations):
+        # the gather G_k @ llr serves BOTH the extrinsic v2c AND the
+        # convergence check of llr_{t-1} — the sign of the gathered LLR
+        # *is* the gathered hard decision, so the separate cand matmuls
+        # of the naive formulation (1/3 of MXU work) disappear.
+        it, itvec, llr, c2v, conv, dec, llro, iters = state
+        gk = [gather_k(k, llr) for k in range(dc)]
+        cand = mask_k(0) * (gk[0] <= 0).astype(f32)
+        for k in range(1, dc):
+            cand = cand + mask_k(k) * (gk[k] <= 0).astype(f32)
+        cand = cand - 2.0 * jnp.floor(cand * 0.5)
+        eq = ((cand - s) * (cand - s) <= 0.25).astype(f32)
+        # llr_0 is the raw channel — the reference never checks it
+        # (bp.hpp runs at least one iteration), so gate on itvec >= 1
+        gate = jnp.minimum(itvec, 1.0)
+        conv_now = jnp.min(eq, axis=0, keepdims=True) * gate  # (1, TB)
+        # record llr_{t-1} while unconverged ((1, TB) boolean selects trip
+        # Mosaic relayouts, so metadata stays f32 + arithmetic blends)
+        active = 1.0 - conv
+        hard = (llr <= 0).astype(f32)
+        dec = dec + active * (hard - dec)
+        llro = llro + active * (llr - llro)
+        iters = iters + active * (itvec - iters)
+        conv = jnp.maximum(conv, conv_now)
+        # message iteration t = itvec + 1
+        itvec = itvec + 1.0
         if bp_method == MINIMUM_SUM and ms_scaling_factor == 0.0:
             alpha = 1.0 - jnp.exp2(-itvec)
         else:
             alpha = jnp.float32(ms_scaling_factor)
-        v2c = [gather_k(k, llr) - c2v[k] for k in range(dc)]
+        v2c = [gk[k] - c2v[k] for k in range(dc)]
         c2v_new = check_update(v2c, alpha)
         acc = llr0
         for k in range(dc):
             acc = acc + scatter_k(k, c2v_new[k])
         llr_new = acc
-        hard = (llr_new <= 0).astype(f32)
-        cand = gather_k(0, hard)
-        for k in range(1, dc):
-            cand = cand + gather_k(k, hard)
-        cand = cand - 2.0 * jnp.floor(cand * 0.5)
-        # all-rows-equal as an f32 min-reduction ((1, TB) boolean selects
-        # trip Mosaic relayouts, so metadata stays f32 + arithmetic blends)
-        eq = ((cand - s) * (cand - s) <= 0.25).astype(f32)
-        conv_now = jnp.min(eq, axis=0, keepdims=True)  # (1, TB) in {0,1}
-        return llr_new, c2v_new, hard, conv_now
-
-    def body(state):
-        it, itvec, llr, c2v, conv, dec, llro, iters = state
-        it = it + 1
-        itvec = itvec + 1.0
-        llr_new, c2v_new, hard, conv_now = one_iter(itvec, llr, c2v)
-        active = 1.0 - conv  # (1, TB) f32
-        dec = dec + active * (hard - dec)
-        llro = llro + active * (llr_new - llro)
-        iters = iters + active * (itvec - iters)
-        conv = jnp.maximum(conv, conv_now)
-        return (it, itvec, llr_new, tuple(c2v_new), conv, dec, llro, iters)
+        return (it + 1, itvec, llr_new, tuple(c2v_new), conv, dec, llro, iters)
 
     def cond(state):
+        # max_iter + 1 bodies: the last one only *checks* llr_{max_iter}
+        # (its message update is dead work on the final trip)
         it, _, _, _, conv, _, _, _ = state
-        return (it < max_iter) & (jnp.min(conv) < 0.5)
+        return (it < max_iter + 1) & (jnp.min(conv) < 0.5)
 
     # carries must start with CONCRETE layouts (derived from refs): Mosaic
     # cannot relayout a loop body's concrete vector back to the replicated

@@ -1,0 +1,66 @@
+"""Device-resident Monte-Carlo pipeline (XLA engines on the CPU backend)."""
+
+import numpy as np
+
+import jax
+
+from ldpc_tpu.codes import rep_code, surface_code
+from ldpc_tpu.monte_carlo_simulation import (
+    DeviceMonteCarlo,
+    make_mc_decoder_step,
+)
+
+
+def test_mc_counters_classical():
+    step, runs = make_mc_decoder_step(
+        rep_code(20), 0.05, batch_size=512, rounds_per_call=2, max_iter=10
+    )
+    out = np.asarray(step(jax.random.key(0)))
+    assert out[0] == runs == 1024
+    assert 0 <= out[1] <= out[0]  # word failures
+    assert 0 <= out[2] <= out[0]  # converged
+    assert out[5] == 0  # no bucket overflow on a rep code at p=0.05
+    # rep code BP at p=0.05 decodes nearly everything
+    assert out[1] < 0.05 * out[0]
+
+
+def test_mc_quantum_ler_sane():
+    code = surface_code(5, compute_logicals=True)
+    step, runs = make_mc_decoder_step(
+        code.hx,
+        0.05,
+        logicals=code.lx,
+        batch_size=512,
+        rounds_per_call=2,
+        max_iter=20,
+        ms_scaling_factor=0.625,
+    )
+    out = np.asarray(step(jax.random.key(3)))
+    ler = out[1] / out[0]
+    # d=5 at p=0.05 with BP+OSD-0: LER is small but non-trivial
+    assert 0.0 <= ler < 0.2
+
+
+def test_device_mc_checkpoint_resume():
+    code = surface_code(3, compute_logicals=True)
+    kwargs = dict(
+        logicals=code.lx, batch_size=256, rounds_per_call=1, max_iter=8
+    )
+    mc1 = DeviceMonteCarlo(code.hx, 0.04, seed=7, **kwargs)
+    mc1.run(512)
+    state = mc1.checkpoint()
+    res_a = mc1.run(1024)
+
+    mc2 = DeviceMonteCarlo(code.hx, 0.04, seed=7, **kwargs)
+    mc2.restore(state)
+    res_b = mc2.run(1024)
+    assert res_a == res_b  # exact resume: same keys, same tallies
+
+
+def test_mc_osd_off():
+    step, runs = make_mc_decoder_step(
+        rep_code(15), 0.05, batch_size=256, rounds_per_call=1,
+        max_iter=10, osd_method="osd_off",
+    )
+    out = np.asarray(step(jax.random.key(1)))
+    assert out[0] == runs  # batch padded up to the 512 tile
