@@ -9,10 +9,112 @@ returned 1-indexed in the sparse matrix's data field — they double as
 CNOT time steps in the syndrome-extraction circuit generator.
 """
 
-from typing import Dict, List
+from dataclasses import dataclass, field
+from typing import Dict, List, Set
 
 import numpy as np
 from scipy.sparse import csc_matrix, csr_matrix
+
+
+@dataclass
+class Node:
+    """One side-A or side-B node's edge-coloring state
+    (reference: bipartite_edge_coloring.py:11-46)."""
+
+    uncolored_edges: Set[int] = field(default_factory=set)
+    colored_edges: Dict[int, int] = field(default_factory=dict)
+    colors_available: Set[int] = field(default_factory=set)
+
+    def add_color_to_uncolored_edge(self, dest: int, col: int) -> None:
+        self.colored_edges[col] = dest
+        self.colors_available.discard(col)
+        self.uncolored_edges.discard(dest)
+
+    def swap_edge_colors(self, color_1: int, color_2: int) -> None:
+        c1, c2 = self.colored_edges[color_1], self.colored_edges[color_2]
+        self.colored_edges[color_1] = c2
+        self.colored_edges[color_2] = c1
+
+    def change_edge_color(self, dest: int, from_col: int, to_col: int) -> None:
+        assert self.colored_edges[from_col] == dest
+        del self.colored_edges[from_col]
+        self.colors_available.add(from_col)
+        self.colored_edges[to_col] = dest
+        self.colors_available.discard(to_col)
+        self.uncolored_edges.discard(dest)
+
+
+class BipartiteGraph:
+    """Bipartite graph with per-node edge-coloring state
+    (reference: bipartite_edge_coloring.py:48-253). The coloring itself
+    delegates to :func:`bipartite_edge_coloring`."""
+
+    def __init__(self, num_a_nodes: int, num_b_nodes: int):
+        self.a_nodes = [Node() for _ in range(num_a_nodes)]
+        self.b_nodes = [Node() for _ in range(num_b_nodes)]
+        self.degree = 0
+
+    def add_edge(self, i: int, j: int) -> None:
+        self.a_nodes[i].uncolored_edges.add(j)
+        self.b_nodes[j].uncolored_edges.add(i)
+
+    @staticmethod
+    def from_biadjacency_matrix(biadj) -> "BipartiteGraph":
+        biadj = csr_matrix(biadj)
+        graph = BipartiteGraph(biadj.shape[0], biadj.shape[1])
+        for i in range(biadj.shape[0]):
+            for j in biadj.indices[biadj.indptr[i] : biadj.indptr[i + 1]]:
+                graph.add_edge(i, int(j))
+        deg_a = max(
+            (len(n.uncolored_edges) for n in graph.a_nodes), default=0
+        )
+        deg_b = max(
+            (len(n.uncolored_edges) for n in graph.b_nodes), default=0
+        )
+        graph.degree = max(deg_a, deg_b)  # chromatic index (König)
+        for node in graph.a_nodes + graph.b_nodes:
+            node.colors_available = set(range(graph.degree))
+        return graph
+
+    def bipartite_edge_coloring(self) -> None:
+        """Color every uncolored edge in place (0-indexed colors)."""
+        colored = bipartite_edge_coloring(self.to_biadjacency_matrix())
+        colored = csr_matrix(colored)
+        for i in range(colored.shape[0]):
+            for ptr in range(colored.indptr[i], colored.indptr[i + 1]):
+                j = int(colored.indices[ptr])
+                col = int(colored.data[ptr]) - 1
+                if j in self.a_nodes[i].uncolored_edges:
+                    self.a_nodes[i].add_color_to_uncolored_edge(j, col)
+                    self.b_nodes[j].add_color_to_uncolored_edge(i, col)
+
+    def assert_has_edge_coloring(self) -> None:
+        for nodes, others in (
+            (self.a_nodes, self.b_nodes),
+            (self.b_nodes, self.a_nodes),
+        ):
+            for i, node in enumerate(nodes):
+                assert not node.uncolored_edges
+                assert len(node.colored_edges) == len(
+                    set(node.colored_edges.values())
+                )
+                for col, j in node.colored_edges.items():
+                    assert others[j].colored_edges.get(col) == i
+
+    def to_biadjacency_matrix(self) -> csr_matrix:
+        """0/1 sparsity pattern of all edges (colored + uncolored)."""
+        rows, cols = [], []
+        for i, node in enumerate(self.a_nodes):
+            for j in node.uncolored_edges:
+                rows.append(i)
+                cols.append(j)
+            for j in node.colored_edges.values():
+                rows.append(i)
+                cols.append(j)
+        return csr_matrix(
+            (np.ones(len(rows), dtype=np.int64), (rows, cols)),
+            shape=(len(self.a_nodes), len(self.b_nodes)),
+        )
 
 
 def bipartite_edge_coloring(biadjacency_matrix) -> csr_matrix:

@@ -20,6 +20,7 @@ from ldpc_tpu.monte_carlo_simulation import simulation_utils  # noqa: F401
 from ldpc_tpu.monte_carlo_simulation.device_mc import (  # noqa: F401
     DeviceMonteCarlo,
     make_mc_decoder_step,
+    make_sharded_mc_step,
 )
 from ldpc_tpu.monte_carlo_simulation.quasi_single_shot import (  # noqa: F401
     QssSimulator,
@@ -30,6 +31,7 @@ __all__ = [
     "MonteCarloBscSimulation",
     "DeviceMonteCarlo",
     "make_mc_decoder_step",
+    "make_sharded_mc_step",
     "BpParams",
     "build_multiround_pcm",
     "decode_multiround",

@@ -174,6 +174,58 @@ def make_mc_decoder_step(
     return jax.jit(step), B * rounds_per_call
 
 
+def make_sharded_mc_step(
+    pcm,
+    error_rate: float,
+    *,
+    mesh=None,
+    batch_size_per_device: int = 16384,
+    **kwargs,
+):
+    """Multi-chip Monte-Carlo step: data-parallel over the mesh ``batch``
+    axis via ``jax.shard_map``; every device runs the full on-chip
+    pipeline on its own PRNG stream and the counters ride one ICI psum.
+
+    Returns ``(step, runs_per_call)`` where ``step(key)`` -> replicated
+    (6,) int32 counters. Scaling is embarrassingly parallel — the PCM
+    and channel are replicated, no per-sample communication exists
+    (SURVEY.md §2.4's data-parallel plan).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ldpc_tpu.parallel import BATCH_AXIS, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis = BATCH_AXIS if BATCH_AXIS in mesh.axis_names else mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    local_step, runs_local = make_mc_decoder_step(
+        pcm, error_rate, batch_size=batch_size_per_device, **kwargs
+    )
+
+    def sharded(keys):  # (ndev,) key array, sharded over the mesh
+        counters = local_step(keys[0])
+        return jax.lax.psum(counters, axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    def step(key):
+        keys = jax.device_put(
+            jax.random.split(key, ndev), NamedSharding(mesh, P(axis))
+        )
+        return fn(keys)
+
+    return step, runs_local * ndev
+
+
 class DeviceMonteCarlo:
     """Accelerator-resident Monte-Carlo LER estimator with checkpointing.
 

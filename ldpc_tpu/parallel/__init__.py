@@ -10,6 +10,7 @@ data-parallel axis: decode programs are pure jitted functions of
 """
 
 from ldpc_tpu.parallel.sharding import (  # noqa: F401
+    BATCH_AXIS,
     make_mesh,
     shard_batch,
     replicate,
@@ -17,4 +18,4 @@ from ldpc_tpu.parallel.sharding import (  # noqa: F401
     psum_tally,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "unshard", "psum_tally"]
+__all__ = ["BATCH_AXIS", "make_mesh", "shard_batch", "replicate", "unshard", "psum_tally"]

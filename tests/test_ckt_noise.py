@@ -224,3 +224,56 @@ def test_overlapping_window_round_mismatch_raises():
         BpOsdOverlappingWindowDecoder(
             dem, decodings=2, window=4, commit=3, num_checks=2
         )
+
+
+# ---------------------------------------------------------------------------
+# BipartiteGraph class API + legacy circuit-sim module
+# (reference: bipartite_edge_coloring.py:11-253, not_an_arb_ckt_simulator.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bipartite_graph_class_coloring():
+    import warnings
+    from scipy.sparse import csr_matrix
+    from ldpc_tpu.ckt_noise import BipartiteGraph
+    from ldpc_tpu.ckt_noise.not_an_arb_ckt_simulator import (
+        get_stabilizer_time_steps,
+        rep_code,
+    )
+
+    H, L = rep_code(6)
+    g = BipartiteGraph.from_biadjacency_matrix(H)
+    assert g.degree == 2
+    g.bipartite_edge_coloring()
+    g.assert_has_edge_coloring()
+    assert (g.to_biadjacency_matrix() != csr_matrix(H)).nnz == 0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        ts, mb = get_stabilizer_time_steps(H)
+    covered = {
+        (k, q)
+        for row in ts
+        for k, q in enumerate(row)
+        if q is not None
+    }
+    assert covered == set(zip(*H.nonzero()))
+    # measured_bits is the transpose view
+    for k, row in enumerate(mb):
+        for t, q in enumerate(row):
+            if q is not None:
+                assert ts[t][k] == q
+
+
+def test_legacy_sim_deprecation_warnings():
+    import warnings
+    from ldpc_tpu.ckt_noise.not_an_arb_ckt_simulator import (
+        get_stabilizer_time_steps,
+        rep_code,
+    )
+
+    H, _ = rep_code(4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        get_stabilizer_time_steps(H)
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)

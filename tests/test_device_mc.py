@@ -64,3 +64,27 @@ def test_mc_osd_off():
     )
     out = np.asarray(step(jax.random.key(1)))
     assert out[0] == runs  # batch padded up to the 512 tile
+
+
+def test_sharded_mc_step_8_device_mesh():
+    """Data-parallel MC over the virtual 8-device CPU mesh: counters are
+    replicated psums; totals scale with device count."""
+    from ldpc_tpu.monte_carlo_simulation import make_sharded_mc_step
+    from ldpc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    code = surface_code(3, compute_logicals=True)
+    step, runs = make_sharded_mc_step(
+        code.hx,
+        0.03,
+        mesh=mesh,
+        logicals=code.lx,
+        batch_size_per_device=128,
+        rounds_per_call=1,
+        max_iter=10,
+    )
+    out = np.asarray(step(jax.random.key(0)))
+    # per-device batch pads up to the 512 tile; counters psum over 8 devices
+    assert out[0] == runs == 8 * 512
+    assert 0 <= out[1] <= out[0]
+    assert out[2] > 0  # something converged
