@@ -466,9 +466,16 @@ class BpOsdDecoder(BpDecoderBase):
             and self._schedule == bp_ops.PARALLEL
             and self._dtype == jnp.float32
             and self._osd_method in (osd_ops.OSD_0, osd_ops.OSD_OFF)
+            and not getattr(self, "_fused_unavailable", False)
         )
         if use_tpu_fused:
-            return self._decode_batch_tpu(syndromes, nonzero)
+            try:
+                return self._decode_batch_tpu(syndromes, nonzero)
+            except ValueError as exc:
+                if "VMEM budget" not in str(exc):
+                    raise
+                # code too large for the fused kernels: XLA path instead
+                self._fused_unavailable = True
 
         syn_dev = jnp.asarray(syndromes)
         use_cascade = (

@@ -92,14 +92,19 @@ def make_mc_decoder_step(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
-        from ldpc_tpu.ops.gf2_pallas import make_osd0_solver
+        try:
+            from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
+            from ldpc_tpu.ops.gf2_pallas import make_osd0_solver
 
-        bp_fn = make_parallel_decoder_pallas(
-            graph, method, max_iter, ms_scaling_factor
-        )
-        osd_fn = make_osd0_solver(graph) if run_osd else None
-    else:
+            bp_fn = make_parallel_decoder_pallas(
+                graph, method, max_iter, ms_scaling_factor
+            )
+            osd_fn = make_osd0_solver(graph) if run_osd else None
+        except ValueError as exc:
+            if "VMEM budget" not in str(exc):
+                raise
+            use_pallas = False  # code too large: XLA engines instead
+    if not use_pallas:
         from ldpc_tpu.ops import osd as osd_ops
 
         bp_fn = bp_ops.make_parallel_decoder(

@@ -47,11 +47,14 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def build_onehot(graph: PcmGraph):
-    """The (dc*M8, N8) stacked one-hot gather matrix and its transpose.
+    """The (dc*M8, N8) stacked one-hot gather matrix.
 
     Row ``k*M8 + i`` of G selects bit ``chk_bits[i, k]`` (zero row for pad
     slots). Padded to sublane multiples so static in-kernel slices stay
-    tile-aligned.
+    tile-aligned. The bit-side scatter contracts the SAME matrix on its
+    row axis (a transposed MXU matmul), so no separate transpose constant
+    is stored — VMEM residency of the constants is the size limit for
+    large codes.
     """
     m, n, dc = graph.m, graph.n, graph.dc
     M8, N8 = _round_up(m, 8), _round_up(n, 8)
@@ -60,19 +63,13 @@ def build_onehot(graph: PcmGraph):
         for k in range(dc):
             if graph.chk_mask[i, k]:
                 G[k * M8 + i, graph.chk_bits[i, k]] = 1.0
-    GT = np.zeros((dc * N8, M8), np.float32)
-    for i in range(m):
-        for k in range(dc):
-            if graph.chk_mask[i, k]:
-                GT[k * N8 + graph.chk_bits[i, k], i] = 1.0
-    return G, GT
+    return G
 
 
 def _bp_kernel_body(
     s_ref,
     llr0_ref,
     G_ref,
-    GT_ref,
     mask_ref,
     dec_ref,
     llr_ref,
@@ -98,8 +95,14 @@ def _bp_kernel_body(
         )
 
     def scatter_k(k, x):
-        return jnp.dot(
-            GT_ref[k * N8 : (k + 1) * N8, :], x, preferred_element_type=f32
+        # G_k^T @ x as a transposed contraction of the same constant
+        # (contract G_k's row axis with x's row axis) — the MXU takes
+        # either operand orientation, so no transpose copy is stored
+        return jax.lax.dot_general(
+            G_ref[k * M8 : (k + 1) * M8, :],
+            x,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
         )
 
     def mask_k(k):
@@ -241,13 +244,26 @@ def make_parallel_decoder_pallas(
     from ldpc_tpu.ops.bp import BpResult
 
     m, n, dc = graph.m, graph.n, graph.dc
+    # VMEM-aware tile: per-lane state is ~(4*N8 + 4*dc*M8 + m8) f32 words
+    # (llr/dec/llro/llr0 + c2v/gk/v2c/c2v_new + syndrome); the constant G
+    # adds dc*M8*N8 words. Fit under a ~11 MB budget (VMEM is ~16 MB/core
+    # and pallas double-buffers the blocked inputs).
     M8, N8 = _round_up(m, 8), _round_up(n, 8)
-    G, GT = build_onehot(graph)
+    const_bytes = dc * M8 * N8 * 4
+    per_lane = (4 * N8 + 4 * dc * M8 + M8) * 4
+    budget = 11 * 1024 * 1024 - const_bytes
+    while tile_b > 128 and per_lane * tile_b > budget:
+        tile_b //= 2
+    if per_lane * tile_b > budget:
+        raise ValueError(
+            f"code too large for the fused BP kernel's VMEM budget "
+            f"(constants {const_bytes >> 20} MB); use the XLA engine"
+        )
+    G = build_onehot(graph)
     mask_host = np.zeros((dc * M8, 128), np.float32)
     for k in range(dc):
         mask_host[k * M8 : k * M8 + m, :] = graph.chk_mask[:, k : k + 1]
     G_d = jnp.asarray(G)
-    GT_d = jnp.asarray(GT)
     mask_d = jnp.asarray(mask_host)
 
     kernel = functools.partial(
@@ -275,9 +291,6 @@ def make_parallel_decoder_pallas(
                     (dc * M8, N8), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (dc * N8, M8), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
                     (dc * M8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
@@ -292,7 +305,7 @@ def make_parallel_decoder_pallas(
                 jax.ShapeDtypeStruct((8, B), jnp.float32),
             ],
             interpret=interpret,
-        )(s_f32, llr0_tile, G_d, GT_d, mask_d)
+        )(s_f32, llr0_tile, G_d, mask_d)
         return dec, llr, meta
 
     def decode(syndrome_bm: jnp.ndarray, init_llr: jnp.ndarray) -> BpResult:

@@ -163,6 +163,12 @@ def make_osd0_solver(
     Wp = -(-(n + 1) // 32)  # columns of H plus the syndrome column
     Wx = -(-n // 32)
     rank = gf2.batched_rank(graph.dense)
+    # VMEM-aware tile: scratch M is (Wp, m8, TB) u32 plus ~4 (m8, TB)
+    # working vectors and the (n, TB) order block
+    per_lane = (Wp * m8 + 4 * m8 + n) * 4
+    budget = 12 * 1024 * 1024
+    while tile_b > 128 and per_lane * tile_b > budget:
+        tile_b //= 2
 
     # replicated packed H: word-major rows (Wp * m8, 128 lanes of copies)
     Hbits = np.zeros((m8, Wp * 32), np.uint8)
