@@ -127,11 +127,36 @@ class BpDecoderBase:
         )
 
     def _bp_decode_fn(self):
-        """The jitted batched BP program for the current configuration."""
+        """The jitted batched BP program for the current configuration.
+
+        On TPU the parallel schedule uses the fused-VMEM pallas kernel
+        (ops/bp_pallas.py) — identical decisions up to fp ties — with the
+        XLA engine as fallback (CPU backends, f64 exact-parity mode, and
+        codes whose constants exceed the kernel's VMEM budget)."""
         key = self._config_key()
         fn = self._decoder_cache.get(key)
         if fn is None:
             if self._schedule == bp_ops.PARALLEL:
+                if (
+                    jax.default_backend() == "tpu"
+                    and self._dtype == jnp.float32
+                ):
+                    try:
+                        from ldpc_tpu.ops.bp_pallas import (
+                            make_parallel_decoder_pallas,
+                        )
+
+                        fn = make_parallel_decoder_pallas(
+                            self.graph,
+                            self._bp_method,
+                            self._max_iter,
+                            self._ms_scaling_factor,
+                        )
+                        self._decoder_cache[key] = fn
+                        return fn
+                    except ValueError as exc:
+                        if "VMEM budget" not in str(exc):
+                            raise
                 fn = bp_ops.make_parallel_decoder(
                     self.graph,
                     self._bp_method,
