@@ -12,7 +12,10 @@
 //         num_syndromes
 //         num_syndromes rows of m 0/1 ints
 // argv:   max_iter ms_scaling_factor osd_method(-1 off,0,1=E,2=CS) osd_order
-// stdout: one line: "decoded <N> syndromes in <seconds> s"
+//         [dump_decodings(0|1)]
+// stdout: one line: "decoded <N> syndromes in <seconds> s"; with dump=1,
+//         followed by one 0/1 line per syndrome (the reference decoding —
+//         used by the LER-parity tests to compare logical error rates)
 #include <chrono>
 #include <cstdio>
 #include <iostream>
@@ -26,6 +29,7 @@ int main(int argc, char **argv) {
     double ms_factor = argc > 2 ? std::atof(argv[2]) : 0.625;
     int osd_method_i = argc > 3 ? std::atoi(argv[3]) : 0;
     int osd_order = argc > 4 ? std::atoi(argv[4]) : 0;
+    bool dump = argc > 5 ? std::atoi(argv[5]) != 0 : false;
 
     int m, n;
     std::cin >> m >> n;
@@ -57,19 +61,28 @@ int main(int argc, char **argv) {
             channel);
 
     long long checksum = 0;
+    std::vector<std::vector<uint8_t>> decodings;
+    if (dump) decodings.resize(num);
     auto t0 = std::chrono::steady_clock::now();
     for (int s = 0; s < num; s++) {
         bpd.decode(syndromes[s]);
-        if (!bpd.converge && osd) {
-            osd->decode(syndromes[s], bpd.log_prob_ratios);
-            for (auto v : osd->osdw_decoding) checksum += v;
-        } else {
-            for (auto v : bpd.decoding) checksum += v;
-        }
+        const std::vector<uint8_t> &out =
+            (!bpd.converge && osd)
+                ? (osd->decode(syndromes[s], bpd.log_prob_ratios),
+                   osd->osdw_decoding)
+                : bpd.decoding;
+        for (auto v : out) checksum += v;
+        if (dump) decodings[s].assign(out.begin(), out.end());
     }
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
     std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num, secs,
                 checksum);
+    if (dump)
+        for (int s = 0; s < num; s++) {
+            for (int j = 0; j < n; j++)
+                std::putchar(decodings[s][j] ? '1' : '0');
+            std::putchar('\n');
+        }
     return 0;
 }
