@@ -23,6 +23,7 @@ from ldpc_tpu import codes, helpers, mod2  # noqa: F401
 
 _LAZY_SUBMODULES = (
     "alist",
+    "bp_decode_sim",
     "ckt_noise",
     "code_util",
     "monte_carlo_simulation",

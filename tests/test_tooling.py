@@ -225,3 +225,33 @@ def test_legacy_v1_decoders():
     with pytest.warns(UserWarning):
         dec3 = ldpc_tpu.bp_decoder(H, channel_probs=list(np.full(8, 0.1)))
     assert np.allclose(dec3.channel_probs, 0.1)
+
+
+def test_classical_decode_sim_v1_shim():
+    """LDPCv1 bp_decode_sim API shim (the reference's own example imports
+    it though v2 no longer ships it)."""
+    from ldpc_tpu.bp_decode_sim import classical_decode_sim
+
+    out = classical_decode_sim(
+        rep_code(50),
+        0.2,
+        target_runs=200,
+        max_iter=10,
+        seed=3,
+        bp_method="ms",
+        ms_scaling_factor=1.0,
+        output_dict={"code_type": "rep_code_50"},
+    )
+    assert out["run_count"] == 200
+    assert 0 <= out["fail_count"] <= 200
+    assert out["code_type"] == "rep_code_50"
+    assert out["word_error_rate"] == out["fail_count"] / 200
+
+
+def test_examples_compile():
+    import pathlib
+    import py_compile
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "examples"
+    for f in sorted(root.glob("*.py")):
+        py_compile.compile(str(f), doraise=True)
