@@ -83,15 +83,23 @@ def _bp_kernel_body(
     bp_method,
     max_iter,
     ms_scaling_factor,
+    bf16_matmul,
 ):
     s = s_ref[:]  # (M8, TB) f32 in {0,1}; pad rows are 0
     llr0 = llr0_ref[:]  # (N8, TB)
     TB = s.shape[1]
     f32 = jnp.float32
+    # bf16 mode: G is stored bf16 (one-hot, exact) and matmul operands are
+    # rounded to bf16 — 4x MXU rate; only message VALUES round (~2^-8
+    # relative), min-sum decisions are insensitive at that scale. The
+    # convergence check stays exact (0/1 operands are exact in bf16).
+    mm_t = jnp.bfloat16 if bf16_matmul else f32
 
     def gather_k(k, x):
         return jnp.dot(
-            G_ref[k * M8 : (k + 1) * M8, :], x, preferred_element_type=f32
+            G_ref[k * M8 : (k + 1) * M8, :],
+            x.astype(mm_t),
+            preferred_element_type=f32,
         )
 
     def scatter_k(k, x):
@@ -100,7 +108,7 @@ def _bp_kernel_body(
         # either operand orientation, so no transpose copy is stored
         return jax.lax.dot_general(
             G_ref[k * M8 : (k + 1) * M8, :],
-            x,
+            x.astype(mm_t),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
@@ -167,9 +175,19 @@ def _bp_kernel_body(
         # of the naive formulation (1/3 of MXU work) disappear.
         it, itvec, llr, c2v, conv, dec, llro, iters = state
         gk = [gather_k(k, llr) for k in range(dc)]
-        cand = mask_k(0) * (gk[0] <= 0).astype(f32)
-        for k in range(1, dc):
-            cand = cand + mask_k(k) * (gk[k] <= 0).astype(f32)
+        if bf16_matmul:
+            # rounded gathers can't serve the check exactly (a tiny
+            # positive llr could round to +0); gather the exact 0/1 hard
+            # bits instead — bf16 one-hot matmuls on exact operands
+            hard_prev = (llr <= 0).astype(f32)
+            hk = [gather_k(k, hard_prev) for k in range(dc)]
+            cand = mask_k(0) * hk[0]
+            for k in range(1, dc):
+                cand = cand + mask_k(k) * hk[k]
+        else:
+            cand = mask_k(0) * (gk[0] <= 0).astype(f32)
+            for k in range(1, dc):
+                cand = cand + mask_k(k) * (gk[k] <= 0).astype(f32)
         cand = cand - 2.0 * jnp.floor(cand * 0.5)
         eq = ((cand - s) * (cand - s) <= 0.25).astype(f32)
         # llr_0 is the raw channel — the reference never checks it
@@ -233,6 +251,7 @@ def make_parallel_decoder_pallas(
     ms_scaling_factor: float,
     tile_b: int = 512,
     interpret: bool = False,
+    bf16_matmul: bool = False,
 ):
     """Build a fused-BP decode function with the XLA engine's signature.
 
@@ -263,7 +282,7 @@ def make_parallel_decoder_pallas(
     mask_host = np.zeros((dc * M8, 128), np.float32)
     for k in range(dc):
         mask_host[k * M8 : k * M8 + m, :] = graph.chk_mask[:, k : k + 1]
-    G_d = jnp.asarray(G)
+    G_d = jnp.asarray(G, jnp.bfloat16 if bf16_matmul else jnp.float32)
     mask_d = jnp.asarray(mask_host)
 
     kernel = functools.partial(
@@ -276,6 +295,7 @@ def make_parallel_decoder_pallas(
         bp_method=bp_method,
         max_iter=max_iter,
         ms_scaling_factor=ms_scaling_factor,
+        bf16_matmul=bf16_matmul,
     )
 
     def run(s_f32, llr0_tile, TB):

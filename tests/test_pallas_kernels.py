@@ -93,3 +93,23 @@ def test_bp_pallas_pads_odd_batches(workload):
     assert (
         np.asarray(r_small.decoding) == np.asarray(r_full.decoding)[:100]
     ).all()
+
+
+def test_bp_pallas_bf16_matmul_mode(workload):
+    """bf16 one-hot matmuls: decisions statistically match, convergence
+    flags exact (hard bits are exact in bf16)."""
+    from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
+
+    graph, H, syn, llr = workload
+    pfn = make_parallel_decoder_pallas(
+        graph, bp_ops.MINIMUM_SUM, 8, 0.625, interpret=True, bf16_matmul=True
+    )
+    xfn = bp_ops.make_parallel_decoder(graph, bp_ops.MINIMUM_SUM, 8, 0.625)
+    rp, rx = pfn(syn, llr), xfn(syn, llr)
+    conv_p = np.asarray(rp.converged)
+    assert (conv_p == np.asarray(rx.converged)).all()
+    # converged decodings must reproduce their syndromes exactly
+    dec = np.asarray(rp.decoding)
+    syn_np = np.asarray(syn)
+    valid = ((dec @ H.T) % 2 == syn_np).all(axis=1)
+    assert (valid | ~conv_p).all()
