@@ -139,7 +139,7 @@ def measure_device_mc():
     return runs_per_call / times[len(times) // 2]
 
 
-def main():
+def _attempt():
     code, H, errors, syndromes = build_workload()
     mc_rate = measure_device_mc()
     host_rate = measure_tpu(code, H, syndromes)
@@ -159,6 +159,39 @@ def main():
         "batch": BATCH,
         "backend": jax.devices()[0].platform,
     }))
+
+
+def main():
+    """The tunneled chip occasionally aborts mid-session (and a dead JAX
+    client cannot recover in-process), so retry the measurement in fresh
+    subprocesses and always emit ONE JSON line."""
+    if "--attempt" in sys.argv:
+        return _attempt()
+    last = ""
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--attempt"],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            last = (proc.stderr or proc.stdout)[-300:]
+        except Exception as exc:  # timeout / spawn failure
+            last = str(exc)[:300]
+        time.sleep(60 * (attempt + 1))
+    print(json.dumps({
+        "metric": "syndromes_per_sec_bposd0_surface_d13",
+        "value": 0.0,
+        "unit": "syndromes/s",
+        "vs_baseline": 0.0,
+        "error": f"bench failed after retries: {last}",
+    }))
+    return 1
 
 
 if __name__ == "__main__":
