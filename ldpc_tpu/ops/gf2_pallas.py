@@ -147,6 +147,205 @@ def _osd0_kernel(
     meta_ref[1:8, :] = jnp.broadcast_to(valid * 0.0, (7, TB))
 
 
+def _masked_solve_kernel(
+    order_ref,
+    count_ref,
+    s_ref,
+    H_ref,
+    x0_ref,
+    bad_ref,
+    M_ref,
+    *,
+    m,
+    n,
+    m8,
+    Wp,
+    Wx,
+):
+    """Column-masked Gauss-Jordan: lane ``l`` only processes its first
+    ``count[l]`` columns of ``order`` (its cluster bits, most error-likely
+    first) — the batched form of the reference's per-cluster solves
+    (lsd.hpp:743-760, union_find.hpp:365-392). Everything else matches
+    :func:`_osd0_kernel`; extra output ``bad_ref`` holds the per-row
+    "unreduced with syndrome 1" flags that mark invalid clusters."""
+    TB = s_ref.shape[1]
+    u32 = jnp.uint32
+    one = jnp.uint32(1)
+    ws, bs = n // 32, jnp.uint32(n % 32)
+
+    for w in range(Wp):
+        Hw = H_ref[w * m8 : (w + 1) * m8, 0:1]
+        M_ref[w] = jnp.broadcast_to(Hw, (m8, TB))
+    M_ref[ws] = M_ref[ws] | (s_ref[:] << bs)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m8, TB), 0)
+    count = count_ref[0:1, :]  # (1, TB) int32
+    maxcnt = jnp.max(count)
+    bc = jax.lax.bitcast_convert_type
+    zrow = (s_ref[0:1, :] * jnp.uint32(0)).astype(jnp.int32)
+
+    def body(state):
+        j, jvec, used, col_of_row = state
+        active = (jvec < count).astype(u32)  # (1, TB)
+        ordw = order_ref[pl.ds(j, 1), :].astype(jnp.int32)
+        word = ordw >> 5
+        bit = (ordw & 31).astype(u32)
+        col = s_ref[:] * jnp.uint32(0)
+        for w in range(Wp):
+            hit = (word == w).astype(u32)
+            col = col | (((M_ref[w] >> bit) & one) * hit)
+        cand = col * (one - used) * active
+        score = jnp.where(cand > 0, rows, m8)
+        piv = jnp.min(score, axis=0, keepdims=True)
+        has = (piv < m8).astype(u32)
+        is_piv = ((rows == piv) & (cand > 0)).astype(u32)
+        elim = col * (one - is_piv) * has * active
+        for w in range(Wp):
+            Mw = M_ref[w]
+            pv_w = bc(
+                jnp.sum(
+                    bc(Mw * is_piv, jnp.int32),
+                    axis=0,
+                    keepdims=True,
+                    dtype=jnp.int32,
+                ),
+                u32,
+            )
+            M_ref[w] = Mw ^ (pv_w * elim)
+        col_of_row = jnp.where(is_piv > 0, ordw, col_of_row)
+        used = used | is_piv
+        return (j + 1, jvec + 1, used, col_of_row)
+
+    def cond(state):
+        j = state[0]
+        return (j < n) & (j < maxcnt)
+
+    state0 = (jnp.int32(0), zrow, s_ref[:] * jnp.uint32(0), rows * 0)
+    _, _, used, col_of_row = jax.lax.while_loop(cond, body, state0)
+
+    sbits = (M_ref[ws] >> bs) & one
+    val = (sbits * used) << (col_of_row & 31).astype(u32)
+    word_r = col_of_row >> 5
+    for w in range(Wx):
+        x0w = jnp.sum(
+            bc(val * (word_r == w).astype(u32), jnp.int32),
+            axis=0,
+            keepdims=True,
+            dtype=jnp.int32,
+        )
+        x0_ref[w] = jnp.broadcast_to(bc(x0w, u32), (8, TB))
+    bad_ref[:] = (
+        bc(sbits * (one - used), jnp.int32).astype(jnp.float32)
+    )
+
+
+def make_masked_solver(
+    graph: PcmGraph, tile_b: int = 512, interpret: bool = False
+):
+    """Batched column-masked GF(2) solver for cluster decoders.
+
+    Returns ``solve(syndromes: (B, m) uint8, order: (B, n) int32,
+    count: (B,) int32) -> (x0: (B, n) uint8 in ORIGINAL coordinates,
+    bad_row: (B, m) bool)`` where lane ``l`` eliminates only its first
+    ``count[l]`` columns of ``order``. A cluster is syndrome-consistent
+    iff none of its rows is flagged in ``bad_row``.
+    """
+    from ldpc_tpu.ops import gf2
+
+    m, n = graph.m, graph.n
+    m8 = _round_up(m, 8)
+    Wp = -(-(n + 1) // 32)
+    Wx = -(-n // 32)
+    per_lane = (Wp * m8 + 5 * m8 + n) * 4
+    budget = 12 * 1024 * 1024
+    while tile_b > 128 and per_lane * tile_b > budget:
+        tile_b //= 2
+    if per_lane * tile_b > budget:
+        raise ValueError(
+            "code too large for the masked-solver VMEM budget; "
+            "use the XLA engine"
+        )
+
+    Hbits = np.zeros((m8, Wp * 32), np.uint8)
+    Hbits[:m, :n] = graph.dense
+    words = (
+        (Hbits.reshape(m8, Wp, 32) << np.arange(32, dtype=np.uint32))
+        .sum(axis=2)
+        .astype(np.uint32)
+    )
+    H_host = np.zeros((Wp * m8, 128), np.uint32)
+    for w in range(Wp):
+        H_host[w * m8 : (w + 1) * m8, :] = words[:, w : w + 1]
+    H_d = jnp.asarray(H_host)
+
+    kernel = functools.partial(
+        _masked_solve_kernel, m=m, n=n, m8=m8, Wp=Wp, Wx=Wx
+    )
+
+    def run(order_t, count_t, s_t, TB):
+        B = s_t.shape[1]
+        grid = (B // TB,)
+        x0w, bad = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (Wp * m8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (Wx, 8, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((m8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Wx, 8, B), jnp.uint32),
+                jax.ShapeDtypeStruct((m8, B), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((Wp, m8, TB), jnp.uint32)],
+            interpret=interpret,
+        )(order_t, count_t, s_t, H_d)
+        return x0w, bad
+
+    def solve(syndromes: jnp.ndarray, order: jnp.ndarray, count: jnp.ndarray):
+        B0 = syndromes.shape[0]
+        if B0 >= tile_b:
+            B, TB = _round_up(B0, tile_b), tile_b
+        else:
+            B = TB = max(128, _round_up(B0, 128))
+        if B != B0:
+            syndromes = jnp.concatenate(
+                [syndromes, jnp.zeros((B - B0, m), syndromes.dtype)]
+            )
+            order = jnp.concatenate(
+                [
+                    order,
+                    jnp.broadcast_to(
+                        jnp.arange(n, dtype=order.dtype)[None], (B - B0, n)
+                    ),
+                ]
+            )
+            count = jnp.concatenate(
+                [count, jnp.zeros(B - B0, count.dtype)]
+            )
+        count_t = jnp.broadcast_to(
+            count.astype(jnp.int32)[None, :], (8, B)
+        )
+        x0w, bad = run(order.T, count_t,
+                       jnp.zeros((m8, B), jnp.uint32).at[:m].set(
+                           syndromes.T.astype(jnp.uint32)),
+                       TB)
+        x0 = gf2.unpack_u32(x0w[:, 0, :B0].T, n)
+        bad_row = bad[:m, :B0].T > 0.5
+        return x0, bad_row
+
+    return jax.jit(solve)
+
+
 def make_osd0_solver(
     graph: PcmGraph, tile_b: int = 512, interpret: bool = False
 ):

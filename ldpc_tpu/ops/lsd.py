@@ -91,6 +91,12 @@ def make_lsd_decoder(
     W = lsd_order
     pats_np = None if order0 else _pattern_table(lsd_method, W)
     use_singles = (not order0) and lsd_method == LSD_CS
+    from ldpc_tpu.ops.uf import (
+        grow_until_valid_fast,
+        make_masked_solver_or_none,
+    )
+
+    fast_solver = make_masked_solver_or_none(graph, dtype) if order0 else None
 
     def bit_labels(labels, in_bit):
         """Cluster label of each in-cluster column (min over its active
@@ -149,6 +155,12 @@ def make_lsd_decoder(
         syndromes = syndromes.astype(jnp.uint8)
         bidx = jnp.arange(B)[:, None]
         seed_checks = syndromes == 1
+
+        if order0 and fast_solver is not None:  # fused pallas (TPU)
+            _, x0, valid = grow_until_valid_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, fast_solver
+            )
+            return x0, valid
 
         in_bit, res, order = grow_until_valid(
             graph, syndromes, llrs, bits_per_step, dtype

@@ -45,11 +45,14 @@ _INF = jnp.int32(2**30)
 # ----------------------------------------------------------------------
 # shared cluster machinery
 # ----------------------------------------------------------------------
-def _propagate_labels(graph: PcmGraph, in_bit, seed_checks):
+def _propagate_labels(graph: PcmGraph, in_bit, seed_checks, warm=None):
     """Min-label propagation over the active Tanner subgraph.
 
     Active checks = seeds U checks adjacent to in-cluster bits; two
     checks share a cluster iff connected through in-cluster bits.
+    ``warm`` optionally warm-starts from a previous round's labels
+    (exact: labels only decrease as clusters grow/merge, so any earlier
+    fixpoint is a valid upper bound and convergence takes ~1 sweep).
     Returns ``(labels: (B, m) int32 with _INF outside clusters,
     active_chk: (B, m) bool)``.
     """
@@ -63,6 +66,8 @@ def _propagate_labels(graph: PcmGraph, in_bit, seed_checks):
     chk_has_bit = jnp.take(in_bit_pad, chk_bits, axis=1) & chk_mask  # (B,m,dc)
     active_chk = seed_checks | chk_has_bit.any(axis=2)  # (B, m)
     lab0 = jnp.where(active_chk, jnp.arange(m, dtype=jnp.int32)[None, :], _INF)
+    if warm is not None:
+        lab0 = jnp.where(active_chk, jnp.minimum(lab0, warm), _INF)
 
     def step(state):
         lab, _ = state
@@ -146,20 +151,298 @@ def masked_solve(
     return res, order
 
 
-def invalid_checks_from_rref(res, labels, m):
-    """Per-check invalid-cluster flags from a masked global rref.
-
-    A cluster is invalid iff one of its rows is unreduced with syndrome 1
-    (valid by block-diagonality of the masked system across clusters).
-    """
+def invalid_checks_from_bad(bad_row, labels, m):
+    """Per-check invalid-cluster flags from per-row "unreduced with
+    syndrome 1" flags. A cluster is invalid iff one of its rows is
+    flagged (valid by block-diagonality of the masked system across
+    clusters)."""
     B = labels.shape[0]
     bidx = jnp.arange(B)[:, None]
-    bad_row = ((res.synd_red == 1) & ~res.row_used).astype(jnp.int32)
+    bad = bad_row.astype(jnp.int32)
     lab_clip = jnp.minimum(labels, m)
     invalid_of_label = (
-        jnp.zeros((B, m + 1), jnp.int32).at[bidx, lab_clip].max(bad_row)
+        jnp.zeros((B, m + 1), jnp.int32).at[bidx, lab_clip].max(bad)
     )
     return (invalid_of_label[bidx, lab_clip] > 0) & (labels < _INF)
+
+
+def invalid_checks_from_rref(res, labels, m):
+    """Per-check invalid-cluster flags from a masked global rref."""
+    return invalid_checks_from_bad(
+        (res.synd_red == 1) & ~res.row_used, labels, m
+    )
+
+
+_INF_F = jnp.float32(1.0e7)  # exact in f32; > any label/key
+
+
+def _adj_constants(graph: PcmGraph):
+    """Dense one-hot slot-gather matrices for MXU-native graph sweeps.
+
+    ``Gv[k]`` (m, n): column j selects check ``var_chks[j, k]`` — so
+    ``x_chk @ Gv[k]`` gathers a per-check value onto bits, slot k.
+    ``Gc[k]`` (n, m): column i selects bit ``chk_bits[i, k]``.
+    TPU gathers/scatters lower poorly; one-hot matmuls ride the MXU.
+    """
+    m, n, dc, dv = graph.m, graph.n, graph.dc, graph.dv
+    Gv = np.zeros((dv, m, n), np.float32)
+    for j in range(n):
+        for k in range(dv):
+            if graph.var_mask[j, k]:
+                Gv[k, graph.var_chks[j, k], j] = 1.0
+    Gc = np.zeros((dc, n, m), np.float32)
+    for i in range(m):
+        for k in range(dc):
+            if graph.chk_mask[i, k]:
+                Gc[k, graph.chk_bits[i, k], i] = 1.0
+    maskv = graph.var_mask.T.astype(np.float32)  # (dv, n)
+    maskc = graph.chk_mask.T.astype(np.float32)  # (dc, m)
+    return (
+        jnp.asarray(Gv),
+        jnp.asarray(Gc),
+        jnp.asarray(maskv),
+        jnp.asarray(maskc),
+        jnp.asarray(graph.dense.astype(np.float32)),  # A (m, n)
+    )
+
+
+def _propagate_labels_mm(graph: PcmGraph, adj, in_bit, seed_checks, warm=None):
+    """:func:`_propagate_labels` with every graph sweep as one-hot MXU
+    matmuls + elementwise mins (identical fixpoint)."""
+    Gv, Gc, maskv, maskc, A = adj
+    m = graph.m
+    B = in_bit.shape[0]
+    in_f = in_bit.astype(jnp.float32)
+    active_chk = seed_checks | (
+        jax.lax.dot_general(
+            in_f, A, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        > 0.5
+    )
+    iota_m = jnp.arange(m, dtype=jnp.float32)[None, :]
+    lab0 = jnp.where(active_chk, iota_m, _INF_F)
+    if warm is not None:
+        lab0 = jnp.where(active_chk, jnp.minimum(lab0, warm), _INF_F)
+    dv, dc = Gv.shape[0], Gc.shape[0]
+
+    def gather_chk_to_bit(x_chk, fill):
+        out = None
+        for k in range(dv):
+            g = jnp.dot(x_chk, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            g = jnp.where(maskv[k][None, :] > 0, g, fill)
+            out = g if out is None else jnp.minimum(out, g)
+        return out
+
+    def gather_bit_to_chk(x_bit, fill):
+        out = None
+        for k in range(dc):
+            g = jnp.dot(x_bit, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            g = jnp.where(maskc[k][None, :] > 0, g, fill)
+            out = g if out is None else jnp.minimum(out, g)
+        return out
+
+    def step(state):
+        lab, _ = state
+        bl = gather_chk_to_bit(lab, _INF_F)
+        bl = jnp.where(in_bit, bl, _INF_F)
+        thru = gather_bit_to_chk(bl, _INF_F)
+        new = jnp.minimum(lab, thru)
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(lambda s: s[1], step, (lab0, jnp.array(True)))
+    return lab, active_chk
+
+
+def _invalid_floodfill_mm(adj, in_bit, bad_row):
+    """Per-check invalid-cluster flags: boolean reachability from
+    unreduced-bad rows through in-cluster bits, as MXU matmuls (the
+    scatter-free form of :func:`invalid_checks_from_bad`)."""
+    _, _, _, _, A = adj
+    t0 = bad_row.astype(jnp.float32)
+
+    def step(state):
+        t, _ = state
+        tb = (
+            jnp.dot(t, A, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) > 0.5
+        ) & in_bit
+        t_new = jnp.maximum(
+            t,
+            (
+                jax.lax.dot_general(
+                    tb.astype(jnp.float32),
+                    A,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                )
+                > 0.5
+            ).astype(jnp.float32),
+        )
+        return t_new, jnp.any(t_new != t)
+
+    t, _ = jax.lax.while_loop(lambda s: s[1], step, (t0, jnp.array(True)))
+    return t > 0.5
+
+
+def _grow_mm(graph, adj, in_bit, labels, chk_invalid, llr_rank, bits_per_step):
+    """:func:`_grow` without scatters or per-round argsorts: each invalid
+    cluster admits its ``bits_per_step`` lowest-LLR boundary bits, chosen
+    by min-floodfilling a unique (label-scoped) key through the cluster.
+    ``llr_rank`` is the static global LLR ordering rank (computed once per
+    decode), so keys are unique and results match :func:`_grow` exactly."""
+    Gv, Gc, maskv, maskc, A = adj
+    m, n = graph.m, graph.n
+    B = in_bit.shape[0]
+    dv, dc = Gv.shape[0], Gc.shape[0]
+    inv_f = chk_invalid.astype(jnp.float32)
+    nbr_inv = (
+        jnp.dot(inv_f, A, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) > 0.5
+    )
+    cand = nbr_inv & ~in_bit
+    if bits_per_step == 0:
+        return in_bit | cand
+
+    SPAN = jnp.float32(1024.0)  # > n; keys = label*SPAN + rank, exact f32
+    labsrc = jnp.where(chk_invalid, labels, _INF_F)
+    # boundary bit's owning cluster = min label over adjacent invalid checks
+    bit_lab = None
+    for k in range(dv):
+        g = jnp.dot(labsrc, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.where(maskv[k][None, :] > 0, g, _INF_F)
+        bit_lab = g if bit_lab is None else jnp.minimum(bit_lab, g)
+    bit_lab = jnp.where(cand, bit_lab, _INF_F)
+
+    grown = in_bit
+    taken = jnp.zeros((B, n), bool)
+    for _ in range(bits_per_step):
+        key = jnp.where(
+            cand & ~taken, bit_lab * SPAN + llr_rank, _INF_F * SPAN
+        )
+        # push keys onto the owning cluster's checks only
+        kc = None
+        for k in range(dc):
+            gk = jnp.dot(key, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            gl = jnp.dot(bit_lab, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            hit = (maskc[k][None, :] > 0) & (gl == labels) & chk_invalid
+            gk = jnp.where(hit, gk, _INF_F * SPAN)
+            kc = gk if kc is None else jnp.minimum(kc, gk)
+
+        # min-floodfill the key through each cluster's connectivity
+        def step(state):
+            kcur, _ = state
+            kb = None
+            for k in range(dv):
+                g = jnp.dot(kcur, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                g = jnp.where(maskv[k][None, :] > 0, g, _INF_F * SPAN)
+                kb = g if kb is None else jnp.minimum(kb, g)
+            kb = jnp.where(in_bit, kb, _INF_F * SPAN)
+            back = None
+            for k in range(dc):
+                g = jnp.dot(kb, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                g = jnp.where(maskc[k][None, :] > 0, g, _INF_F * SPAN)
+                back = g if back is None else jnp.minimum(back, g)
+            knew = jnp.minimum(kcur, back)
+            return knew, jnp.any(knew != kcur)
+
+        kc, _ = jax.lax.while_loop(
+            lambda s: s[1], step, (kc, jnp.array(True))
+        )
+        # a boundary bit joins iff its key IS its cluster's minimum
+        minkc = None
+        for k in range(dv):
+            g = jnp.dot(kc, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            gl = jnp.dot(
+                jnp.where(chk_invalid, labels, _INF_F),
+                Gv[k],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            hit = (maskv[k][None, :] > 0) & (gl == bit_lab)
+            g = jnp.where(hit, g, _INF_F * SPAN)
+            minkc = g if minkc is None else jnp.minimum(minkc, g)
+        win = (
+            cand
+            & ~taken
+            & (minkc == bit_lab * SPAN + llr_rank)
+            & (bit_lab < _INF_F)
+        )
+        grown = grown | win
+        taken = taken | win
+    return grown
+
+
+def make_masked_solver_or_none(graph: PcmGraph, dtype):
+    """The fused pallas cluster solver when usable (TPU, f32, fits VMEM);
+    None selects the XLA engine."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu" or dtype != jnp.float32:
+        return None
+    try:
+        from ldpc_tpu.ops.gf2_pallas import make_masked_solver
+
+        return make_masked_solver(graph)
+    except ValueError:
+        return None
+
+
+def grow_until_valid_fast(
+    graph: PcmGraph, syndromes, llrs, bits_per_step, dtype, solver
+):
+    """:func:`grow_until_valid` on the fused pallas cluster solver.
+
+    Identical pivot choices (in-cluster columns, ascending LLR, first
+    unused 1-row), so solutions match the XLA engine bit-for-bit; the
+    per-round elimination only walks each lane's own cluster columns
+    instead of re-streaming the whole masked PCM from HBM.
+
+    Returns ``(in_bit, x0: (B, n) uint8 in ORIGINAL coordinates,
+    valid: (B,) bool)``.
+    """
+    m, n = graph.m, graph.n
+    B = syndromes.shape[0]
+    seed_checks = syndromes == 1
+    syn_u8 = syndromes.astype(jnp.uint8)
+    inf = jnp.array(np.inf, dtype)
+    adj = _adj_constants(graph)
+    # static per-decode LLR ordering rank (unique growth tie-break keys)
+    sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True)
+    llr_rank = (
+        jnp.argsort(sub, axis=1, stable=True).astype(jnp.float32)
+    )
+
+    def solve(in_bit):
+        key = jnp.where(in_bit, llrs.astype(dtype), inf)
+        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+        count = in_bit.sum(axis=1).astype(jnp.int32)
+        return solver(syn_u8, order, count)
+
+    def round_body(state_i):
+        (in_bit, _, _, _, warm), i = state_i
+        labels, _ = _propagate_labels_mm(
+            graph, adj, in_bit, seed_checks, warm=warm
+        )
+        x0, bad_row = solve(in_bit)
+        chk_invalid = _invalid_floodfill_mm(adj, in_bit, bad_row)
+        any_invalid = chk_invalid.any(axis=1)
+        new_in = _grow_mm(
+            graph, adj, in_bit, labels, chk_invalid, llr_rank, bits_per_step
+        )
+        new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
+        return (new_in, x0, bad_row, any_invalid, labels), i + 1
+
+    def cond(state_i):
+        (_, _, _, any_invalid, _), i = state_i
+        return jnp.any(any_invalid) & (i <= n)
+
+    x00, bad0 = solve(jnp.zeros((B, n), bool))
+    warm0 = jnp.full((B, m), _INF_F, jnp.float32)
+    state0 = (
+        (jnp.zeros((B, n), bool), x00, bad0, jnp.ones(B, bool), warm0),
+        jnp.int32(0),
+    )
+    (in_bit, x0, bad_row, _, _), _ = jax.lax.while_loop(
+        cond, round_body, state0
+    )
+    return in_bit, x0, ~bad_row.any(axis=1)
 
 
 def grow_until_valid(graph: PcmGraph, syndromes, llrs, bits_per_step, dtype):
@@ -213,9 +496,16 @@ def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
     (decoding: (B, n) uint8, valid: (B,) bool)``.
     """
 
+    solver = make_masked_solver_or_none(graph, dtype)
+
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
         B = syndromes.shape[0]
         syndromes = syndromes.astype(jnp.uint8)
+        if solver is not None:  # fused pallas cluster solves (TPU)
+            _, x0, valid = grow_until_valid_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, solver
+            )
+            return x0, valid
         bidx = jnp.arange(B)[:, None]
         _, res, order = grow_until_valid(
             graph, syndromes, llrs, bits_per_step, dtype
