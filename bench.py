@@ -147,7 +147,7 @@ def _attempt():
     import jax
 
     print(json.dumps({
-        "metric": "syndromes_per_sec_bposd0_surface_d13",
+        "metric": "syndromes_per_sec_bposd0_surface_d13_device_mc",
         "value": round(mc_rate, 1),
         "unit": "syndromes/s",
         "vs_baseline": round(mc_rate / base_rate, 2),
@@ -185,7 +185,7 @@ def main():
             last = str(exc)[:300]
         time.sleep(60 * (attempt + 1))
     print(json.dumps({
-        "metric": "syndromes_per_sec_bposd0_surface_d13",
+        "metric": "syndromes_per_sec_bposd0_surface_d13_device_mc",
         "value": 0.0,
         "unit": "syndromes/s",
         "vs_baseline": 0.0,

@@ -399,11 +399,8 @@ class BpDecoderBase:
 
     @property
     def omp_thread_count(self) -> int:
-        if self._omp_thread_count != 1:
-            warnings.warn(
-                "The OpenMP functionality is not implemented: intra-chip "
-                "parallelism on TPU comes from batching, not threads."
-            )
+        # setter-only warning (reference: _bp_decoder.pyx:508-527) — reading
+        # the property must not spam warnings
         return self._omp_thread_count
 
     @omp_thread_count.setter

@@ -257,10 +257,11 @@ def make_masked_solver(
     Wp = -(-(n + 1) // 32)
     Wx = -(-n // 32)
     per_lane = (Wp * m8 + 5 * m8 + n) * 4
+    h_const = Wp * m8 * 128 * 4  # replicated packed-H constant
     budget = 12 * 1024 * 1024
-    while tile_b > 128 and per_lane * tile_b > budget:
+    while tile_b > 128 and h_const + per_lane * tile_b > budget:
         tile_b //= 2
-    if per_lane * tile_b > budget:
+    if h_const + per_lane * tile_b > budget:
         raise ValueError(
             "code too large for the masked-solver VMEM budget; "
             "use the XLA engine"
@@ -365,9 +366,15 @@ def make_osd0_solver(
     # VMEM-aware tile: scratch M is (Wp, m8, TB) u32 plus ~4 (m8, TB)
     # working vectors and the (n, TB) order block
     per_lane = (Wp * m8 + 4 * m8 + n) * 4
+    h_const = Wp * m8 * 128 * 4  # replicated packed-H constant
     budget = 12 * 1024 * 1024
-    while tile_b > 128 and per_lane * tile_b > budget:
+    while tile_b > 128 and h_const + per_lane * tile_b > budget:
         tile_b //= 2
+    if h_const + per_lane * tile_b > budget:
+        raise ValueError(
+            "code too large for the OSD-0 solver VMEM budget; "
+            "use the XLA engine"
+        )
 
     # replicated packed H: word-major rows (Wp * m8, 128 lanes of copies)
     Hbits = np.zeros((m8, Wp * 32), np.uint8)

@@ -176,6 +176,22 @@ def invalid_checks_from_rref(res, labels, m):
 _INF_F = jnp.float32(1.0e7)  # exact in f32; > any label/key
 
 
+def _growth_span(n: int) -> int:
+    """Key span for the fused growth path: smallest power of two > n-1,
+    so ``label * span + rank`` (rank in [0, n)) never collides across
+    labels."""
+    return 1 << max(1, int(n - 1).bit_length())
+
+
+def fused_growth_supported(graph: PcmGraph) -> bool:
+    """f32-exactness bound for the fused growth keys: every real key
+    ``label * span + rank`` (label < m, rank < n) must be an exactly
+    representable integer in float32, i.e. < 2**24. ``_INF_F`` must also
+    dominate every label."""
+    span = _growth_span(graph.n)
+    return (graph.m - 1) * span + (graph.n - 1) < 2**24 and graph.m < 1e7
+
+
 def _adj_constants(graph: PcmGraph):
     """Dense one-hot slot-gather matrices for MXU-native graph sweeps.
 
@@ -301,7 +317,9 @@ def _grow_mm(graph, adj, in_bit, labels, chk_invalid, llr_rank, bits_per_step):
     if bits_per_step == 0:
         return in_bit | cand
 
-    SPAN = jnp.float32(1024.0)  # > n; keys = label*SPAN + rank, exact f32
+    # keys = label*SPAN + rank; exact in f32 (guarded by
+    # fused_growth_supported before this path is selected)
+    SPAN = jnp.float32(_growth_span(n))
     labsrc = jnp.where(chk_invalid, labels, _INF_F)
     # boundary bit's owning cluster = min label over adjacent invalid checks
     bit_lab = None
@@ -375,6 +393,8 @@ def make_masked_solver_or_none(graph: PcmGraph, dtype):
     import jax as _jax
 
     if _jax.default_backend() != "tpu" or dtype != jnp.float32:
+        return None
+    if not fused_growth_supported(graph):
         return None
     try:
         from ldpc_tpu.ops.gf2_pallas import make_masked_solver

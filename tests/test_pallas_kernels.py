@@ -80,6 +80,36 @@ def test_osd0_pallas_matches_xla(workload):
     assert ok.all()
 
 
+@pytest.mark.parametrize("bits_per_step", [0, 1, 2])
+def test_fused_uf_growth_matches_xla(workload, bits_per_step):
+    """The fused growth loop (grow_until_valid_fast + interpret-mode
+    masked solver) must reproduce the XLA engine (grow_until_valid)
+    bit-for-bit: same cluster membership, same solutions, same validity.
+    This is the default-on TPU path of make_uf_decoder/make_lsd_decoder."""
+    from ldpc_tpu.ops import uf
+    from ldpc_tpu.ops.gf2_pallas import make_masked_solver
+
+    graph, H, syn, llr = workload
+    assert uf.fused_growth_supported(graph)
+    B = syn.shape[0]
+    xfn = bp_ops.make_parallel_decoder(graph, bp_ops.MINIMUM_SUM, 4, 0.625)
+    llrs = xfn(syn, llr).llr_posterior  # varied per-element orderings
+    solver = make_masked_solver(graph, interpret=True)
+
+    in_f, x0_f, valid_f = uf.grow_until_valid_fast(
+        graph, syn, llrs, bits_per_step, jnp.float32, solver
+    )
+    in_x, res, order = uf.grow_until_valid(
+        graph, syn, llrs, bits_per_step, jnp.float32
+    )
+    bidx = np.arange(B)[:, None]
+    dec_x = np.zeros((B, graph.n), np.uint8)
+    dec_x[bidx, np.asarray(order)] = np.asarray(res.x0)
+    assert (np.asarray(in_f) == np.asarray(in_x)).all()
+    assert (np.asarray(x0_f) == dec_x).all()
+    assert (np.asarray(valid_f) == np.asarray(res.valid)).all()
+
+
 def test_bp_pallas_pads_odd_batches(workload):
     from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
 
