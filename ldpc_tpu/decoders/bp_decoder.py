@@ -140,6 +140,41 @@ class BpDecoder(BpDecoderBase):
         decodings = np.asarray(result.decoding)
         return decodings
 
+    def _single_scan_fn(self):
+        key = ("single_scan", self._max_iter, float(self._ms_scaling_factor))
+        fn = self._decoder_cache.get(key)
+        if fn is None:
+            fn = bp_ops.make_single_scan_decoder(
+                self.graph,
+                self._max_iter,
+                self._ms_scaling_factor,
+                dtype=self._dtype,
+            )
+            self._decoder_cache[key] = fn
+        return fn
+
+    def decode_single_scan(self, syndrome: np.ndarray) -> np.ndarray:
+        """Min-sum single-scan BP decode (reference: src_cpp/bp.hpp:327-449,
+        exposed there only to the C++ tests). Ignores ``bp_method``/
+        ``schedule``: single-scan is min-sum with the fixed
+        ``ms_scaling_factor`` by construction."""
+        syndrome = np.asarray(syndrome)
+        if len(syndrome) != self.m:
+            raise ValueError(
+                f"The syndrome must have length {self.m}. Not {len(syndrome)}."
+            )
+        dtype = syndrome.dtype
+        if not syndrome.any():
+            self._converge = True
+            return np.zeros(self.n, dtype=dtype)
+        fn = self._single_scan_fn()
+        result = fn(
+            jnp.asarray(syndrome[None, :], dtype=jnp.uint8),
+            jnp.asarray(self._init_llr()),
+        )
+        self._store_single_result(result)
+        return self._decoding.astype(dtype)
+
 
 class SoftInfoBpDecoder(BpDecoderBase):
     """Soft-syndrome min-sum BP decoder (arXiv:2205.02341).

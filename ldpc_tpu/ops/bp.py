@@ -132,12 +132,42 @@ def make_parallel_decoder(
     )
 
 
+def make_single_scan_decoder(
+    graph: PcmGraph,
+    max_iter: int,
+    ms_scaling_factor: float,
+    dtype=jnp.float32,
+):
+    """Min-sum "single-scan" BP (reference: src_cpp/bp.hpp:327-449).
+
+    The reference's single-scan variant stores only the posterior LLRs and
+    the previous iteration's check->bit messages, forming the
+    variable->check extrinsic as ``llr_old[bit] - c2v_old[edge]``. That
+    recurrence is algebraically identical to the parallel schedule's
+    (``llr_post = prior + sum(c2v)``, so ``llr_post - c2v[e]`` *is* the
+    extrinsic bit->check message) — exactly the gather-only form the fast
+    TPU engine already uses, so the kernel is shared. The semantic
+    differences that remain are preserved: single-scan is min-sum only and
+    always applies the fixed ``ms_scaling_factor`` (no dynamic
+    ``1 - 2^-iter`` fallback at 0.0, bp.hpp:399).
+    """
+    return _make_parallel_decoder_fast(
+        graph,
+        MINIMUM_SUM,
+        max_iter,
+        ms_scaling_factor,
+        dtype,
+        dynamic_alpha=False,
+    )
+
+
 def _make_parallel_decoder_fast(
     graph: PcmGraph,
     bp_method: int,
     max_iter: int,
     ms_scaling_factor: float,
     dtype=jnp.float32,
+    dynamic_alpha: bool = True,
 ):
     """Gather-only batched parallel BP (see make_parallel_decoder)."""
     m, n, dc, dv = graph.m, graph.n, graph.dc, graph.dv
@@ -152,7 +182,11 @@ def _make_parallel_decoder_fast(
         init_llr = init_llr.astype(dtype)
 
         def one_iter(it, llr_post, c2v):
-            if ms_scaling_factor == 0.0 and bp_method == MINIMUM_SUM:
+            if (
+                dynamic_alpha
+                and ms_scaling_factor == 0.0
+                and bp_method == MINIMUM_SUM
+            ):
                 alpha = (1.0 - jnp.exp2(-it.astype(dtype))).astype(dtype)
             else:
                 alpha = jnp.array(ms_scaling_factor, dtype)

@@ -250,3 +250,50 @@ class TestSoftInfoBpDecoder:
         assert d.converge
         assert not out.any()  # cheaper to flip the weak syndrome than 2 bits
         assert d.soft_syndrome.shape == (4,)
+
+
+def test_single_scan_golden():
+    """Reference golden values (reference: cpp_test/TestBPDecoder.cpp:346-389):
+    rep_code(3), p=0.1, min-sum alpha=0.625, all 4 syndromes."""
+    H = rep_code(3)
+    d = BpDecoder(
+        H, error_channel=[0.1, 0.1, 0.1], max_iter=3, bp_method="ms",
+        ms_scaling_factor=0.625,
+    )
+    expected = {
+        (0, 0): [0, 0, 0],
+        (0, 1): [0, 0, 1],
+        (1, 0): [1, 0, 0],
+        (1, 1): [0, 1, 0],
+    }
+    for syndrome, want in expected.items():
+        out = d.decode_single_scan(np.array(syndrome, dtype=np.uint8))
+        assert out.tolist() == want, (syndrome, out)
+
+
+def test_single_scan_matches_parallel_min_sum():
+    """Single-scan's recurrence is the parallel min-sum schedule's
+    (see ops/bp.py make_single_scan_decoder) — decisions must agree."""
+    H = hamming_code(3)
+    d = BpDecoder(H, error_rate=0.05, max_iter=20, bp_method="ms",
+                  ms_scaling_factor=0.8)
+    m = H.shape[0]
+    for s_int in range(2 ** m):
+        syndrome = np.array([(s_int >> i) & 1 for i in range(m)], np.uint8)
+        out_ss = d.decode_single_scan(syndrome)
+        conv_ss = d.converge
+        out_par = d.decode(syndrome)
+        assert out_ss.tolist() == out_par.tolist()
+        assert conv_ss == d.converge
+
+
+def test_single_scan_zero_alpha_is_fixed():
+    """ms_scaling_factor=0 keeps messages at zero in single-scan (no
+    dynamic alpha, bp.hpp:399): nothing converges on a nonzero syndrome
+    unless the prior already satisfies it."""
+    H = rep_code(5)
+    d = BpDecoder(H, error_rate=0.1, max_iter=10, ms_scaling_factor=0.0)
+    s = np.zeros(4, np.uint8)
+    s[0] = 1
+    d.decode_single_scan(s)
+    assert not d.converge
