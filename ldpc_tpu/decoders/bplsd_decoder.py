@@ -203,12 +203,37 @@ class BpLsdDecoder(BpDecoderBase):
         self._log_prob_ratios = llrs[0]
         self._bp_decoding = np.asarray(bp.decoding)[0]
         self._decoding = out[0]
+        lsd_ran_first = bool(failed.size) and failed[0] == 0
+        if not lsd_ran_first:
+            # BP converged: stats reset, as the reference's converge
+            # branch does (_bplsd_decoder.pyx:146-150)
+            self._statistics.clear()
+        else:
+            self._statistics.clear()
+            if self._do_stats:
+                # per-cluster growth history of the first element's LSD
+                # decode, replayed with the decoder's own growth
+                # primitives (lsd.hpp:652-816 semantics)
+                from ldpc_tpu.decoders.lsd_stats import compute_lsd_statistics
+
+                self._statistics.bit_llrs = list(map(float, llrs[0]))
+                self._statistics.syndrome = list(map(int, syndromes[0]))
+                compute_lsd_statistics(
+                    self.graph,
+                    scipy.sparse.csc_matrix(self.pcm),
+                    syndromes[0],
+                    llrs[0],
+                    self.bits_per_step,
+                    out[0],
+                    dtype=self._dtype,
+                    stats=self._statistics,
+                )
         self._statistics.elapsed_time = (time.perf_counter() - t0) * 1e6
         self._statistics.lsd_order = self._lsd_order
-        self._statistics.lsd_method = max(self._lsd_method, 0)
-        if self._do_stats:
-            self._statistics.bit_llrs = list(map(float, llrs[0]))
-            self._statistics.syndrome = list(map(int, syndromes[0]))
+        # stats carry the reference's OsdMethod enum value, where
+        # OSD_OFF=0 and OSD_0=1 (osd.hpp:18-23; the constructor's
+        # 0/1/2 aliases map to 1/2/3 there)
+        self._statistics.lsd_method = max(self._lsd_method, -1) + 1
         return out
 
     @property

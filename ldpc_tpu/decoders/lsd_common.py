@@ -38,15 +38,20 @@ def parse_lsd_method(method) -> int:
 
 @dataclasses.dataclass
 class ClusterStatistics:
-    """Per-cluster record (lsd.hpp:464-490)."""
+    """Per-cluster record (lsd.hpp:464-478)."""
 
     final_bit_count: int = 0
     undergone_growth_steps: int = 0
     nr_merges: int = 0
     got_valid_in_timestep: int = -1
+    got_inactive_in_timestep: int = -1
+    absorbed_by_cluster: int = -1
+    nr_of_non_zero_check_matrix_entries: int = 0
+    cluster_pcm_sparsity: float = 0.0
     active: bool = False
     size_history: List[int] = dataclasses.field(default_factory=list)
     solution: List[int] = dataclasses.field(default_factory=list)
+    final_bits: List[int] = dataclasses.field(default_factory=list)
     cluster_id: int = -1
 
 
@@ -68,6 +73,12 @@ class Statistics:
     error: List[int] = dataclasses.field(default_factory=list)
     compare_recover: List[int] = dataclasses.field(default_factory=list)
 
+    def __getitem__(self, key: str):
+        """Dict-style access for parity with the reference's ``statistics``
+        property, which converts the C++ struct to a dict
+        (_bplsd_decoder.pyx:174-182)."""
+        return getattr(self, key)
+
     def clear(self) -> None:
         self.individual_cluster_stats.clear()
         self.global_timestep_bit_history.clear()
@@ -78,4 +89,16 @@ class Statistics:
         self.elapsed_time = 0.0
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self))
+        """JSON export with the reference serializer's field names
+        (lsd.hpp:504-603: top-level ``elapsed_time_mu``; cluster maps
+        keyed by stringified ids)."""
+        d = dataclasses.asdict(self)
+        d["elapsed_time_mu"] = d.pop("elapsed_time")
+        d["individual_cluster_stats"] = {
+            str(k): v for k, v in d["individual_cluster_stats"].items()
+        }
+        d["global_timestep_bit_history"] = {
+            str(t): {str(c): bits for c, bits in per.items()}
+            for t, per in d["global_timestep_bit_history"].items()
+        }
+        return json.dumps(d)

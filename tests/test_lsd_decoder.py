@@ -112,20 +112,94 @@ def test_bplsd_always_run_lsd():
 
 
 def test_bplsd_stats_plumbing():
-    dec = BpLsdDecoder(rep_code(10), error_rate=0.1, max_iter=3)
+    """Mirrors the reference's test_stats_reset
+    (reference: python_test/test_bplsd.py:169-192): max_iter=1 forces
+    LSD, stats fill; a converged decode clears them."""
+    H = rep_code(5)
+    dec = BpLsdDecoder(
+        H, error_rate=0.1, max_iter=1, bp_method="min_sum",
+        ms_scaling_factor=1.0,
+    )
     assert dec.do_stats is False
     dec.set_do_stats(True)
     assert dec.do_stats is True
-    s = np.zeros(9, np.uint8)
-    s[2] = 1
+    s = np.array([1, 1, 0, 1], np.uint8)
     dec.decode(s)
-    assert dec.statistics.elapsed_time > 0
-    assert dec.statistics.syndrome == list(map(int, s))
+    stats = dec.statistics
+    assert stats["lsd_order"] == 0
+    assert stats["lsd_method"] == 1  # reference OsdMethod enum: OSD_0 == 1
+    assert stats.elapsed_time > 0
+    assert stats["syndrome"] == list(map(int, s))
+    assert len(stats["bit_llrs"]) == H.shape[1]
+    assert len(stats["individual_cluster_stats"]) > 0
+    assert len(stats["global_timestep_bit_history"]) > 0
     dec.set_additional_stat_fields([0], [1], [0])
     assert dec.statistics.error == [0]
     dec.reset_cluster_stats()
     assert dec.statistics.syndrome == []
     assert isinstance(dec.statistics.to_json(), str)
+    # a decode the BP stage converges on resets the stats
+    # (_bplsd_decoder.pyx:146-150)
+    dec2 = BpLsdDecoder(H, error_rate=0.1, max_iter=20)
+    dec2.set_do_stats(True)
+    dec2.decode(np.array([1, 0, 0, 0], np.uint8))
+    assert dec2.statistics["individual_cluster_stats"] == {}
+
+
+def test_bplsd_stats_content():
+    """Per-cluster records carry real growth history: two separated
+    flipped checks on a rep code form two clusters that grow and merge
+    or validate; every active cluster has a consistent solution and
+    size history (reference semantics: lsd.hpp:652-816)."""
+    H = rep_code(12)
+    Hd = np.asarray(H.todense(), np.uint8)
+    dec = BpLsdDecoder(
+        H, error_rate=0.1, max_iter=1, bits_per_step=1,
+        always_run_lsd=True,
+    )
+    dec.set_do_stats(True)
+    e = np.zeros(12, np.uint8)
+    e[3] = 1
+    e[7] = 1
+    s = (Hd @ e % 2).astype(np.uint8)
+    out = dec.decode(s)
+    assert np.array_equal(Hd @ out % 2, s)
+    stats = dec.statistics
+    clusters = stats["individual_cluster_stats"]
+    # one cluster per flipped syndrome check (lsd.hpp:702-712)
+    assert set(clusters.keys()) == set(map(int, np.flatnonzero(s)))
+    active = [c for c in clusters.values() if c.active]
+    assert active, "at least one cluster survives"
+    for cid, cs in clusters.items():
+        assert cs.cluster_id == cid
+        assert cs.size_history[0] == 0  # created empty
+        if cs.active:
+            assert cs.got_valid_in_timestep >= 0
+            assert cs.final_bit_count == len(cs.final_bits) > 0
+            assert len(cs.solution) == cs.final_bit_count
+            # solution equals the global decoding restricted to the bits
+            assert cs.solution == [int(out[b]) for b in cs.final_bits]
+            assert cs.nr_of_non_zero_check_matrix_entries > 0
+            assert 0.0 <= cs.cluster_pcm_sparsity < 1.0
+        else:
+            assert cs.absorbed_by_cluster in clusters
+            assert cs.got_inactive_in_timestep >= 0
+    # the timestep history covers every bit of every final cluster that
+    # was ever added
+    added_bits = sorted(
+        b
+        for per in stats["global_timestep_bit_history"].values()
+        for bits in per.values()
+        for b in bits
+    )
+    final_bits = sorted(b for c in clusters.values() for b in (c.final_bits if c.active else []))
+    assert set(final_bits) <= set(added_bits)
+    # json export round-trips with reference field names
+    import json
+
+    j = json.loads(dec.statistics.to_json())
+    assert "elapsed_time_mu" in j
+    assert j["individual_cluster_stats"]
 
 
 def test_bplsd_zero_syndrome():
