@@ -180,6 +180,9 @@ def _make_parallel_decoder_fast(
         B = syndrome_bm.shape[0]
         syndrome = syndrome_bm.T.astype(jnp.int32)  # (m, B)
         init_llr = init_llr.astype(dtype)
+        # per-shot priors: (B, n) -> (n, B) column layout (analog-syndrome
+        # windows initialise time-like bits from per-shot analog LLRs)
+        llr_col = init_llr.T if init_llr.ndim == 2 else init_llr[:, None]
 
         def one_iter(it, llr_post, c2v):
             if (
@@ -200,7 +203,7 @@ def _make_parallel_decoder_fast(
                 [c2v.reshape(E, B), jnp.zeros((1, B), dtype)]
             )
             per_bit = c2v_pad[var_edges].reshape(n, dv, B)
-            llr_new = init_llr[:, None] + per_bit.sum(axis=1)
+            llr_new = llr_col + per_bit.sum(axis=1)
             hard = llr_new <= 0  # (n, B)
             hard_pad = jnp.concatenate([hard, jnp.zeros((1, B), bool)])
             cand = hard_pad[chk_bits].reshape(m, dc, B).sum(axis=1) % 2
@@ -222,7 +225,7 @@ def _make_parallel_decoder_fast(
             it, _, _, conv, _, _, _ = state
             return (it < max_iter) & ~jnp.all(conv)
 
-        llr0 = jnp.broadcast_to(init_llr[:, None], (n, B))
+        llr0 = jnp.broadcast_to(llr_col, (n, B))
         state0 = (
             jnp.int32(0),
             llr0,

@@ -17,5 +17,22 @@ from ldpc_tpu.parallel.sharding import (  # noqa: F401
     unshard,
     psum_tally,
 )
+from ldpc_tpu.parallel.window import (  # noqa: F401
+    ROUNDS_AXIS,
+    WindowDecodeResult,
+    make_rounds_sharded_window_decoder,
+    make_window_decoder,
+)
 
-__all__ = ["BATCH_AXIS", "make_mesh", "shard_batch", "replicate", "unshard", "psum_tally"]
+__all__ = [
+    "BATCH_AXIS",
+    "ROUNDS_AXIS",
+    "WindowDecodeResult",
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "unshard",
+    "psum_tally",
+    "make_window_decoder",
+    "make_rounds_sharded_window_decoder",
+]
