@@ -206,6 +206,24 @@ class BpDecoderBase:
             return fn(syndromes, init_llr)
         return fn(syndromes, init_llr, jnp.asarray(self._schedule_array()), self._prng_key())
 
+    def _coerce_batch_syndromes(
+        self, syndromes: np.ndarray, bit_packed: bool
+    ) -> np.ndarray:
+        """Normalise a syndrome batch to (B, m) uint8, unpacking
+        little-endian bit-packed input (stim b8 layout) when asked."""
+        if bit_packed:
+            Wm = -(-self.m // 8)
+            packed = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+            if packed.shape[1] != Wm:
+                raise ValueError(
+                    f"Bit-packed syndromes must have shape (batch, {Wm}). "
+                    f"Not {packed.shape}."
+                )
+            return np.unpackbits(
+                packed, axis=1, count=self.m, bitorder="little"
+            )
+        return np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+
     def _store_single_result(self, result: bp_ops.BpResult):
         self._converge = bool(np.asarray(result.converged)[0])
         self._iter = int(np.asarray(result.iterations)[0])

@@ -102,11 +102,19 @@ class BeliefFindDecoder(BpDecoderBase):
         out = self.decode_batch(syndrome[None, :].astype(np.uint8))[0]
         return out.astype(syndrome.dtype)
 
-    def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
+    def decode_batch(
+        self,
+        syndromes: np.ndarray,
+        *,
+        bit_packed_syndromes: bool = False,
+        bit_packed_output: bool = False,
+    ) -> np.ndarray:
         """Batched BP, then one union-find program over the compacted
         non-converged subset (the reference decodes the UF fallback one
         syndrome at a time: _belief_find_decoder.pyx:125-136)."""
-        syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+        syndromes = self._coerce_batch_syndromes(
+            syndromes, bit_packed_syndromes
+        )
         if syndromes.shape[1] != self.m:
             raise ValueError(
                 f"The syndromes must have shape (batch, {self.m}). "
@@ -139,4 +147,6 @@ class BeliefFindDecoder(BpDecoderBase):
         self._iter = int(self.iter_batch[0])
         self._log_prob_ratios = llrs[0]
         self._decoding = out[0]
+        if bit_packed_output:
+            return np.packbits(out, axis=1, bitorder="little")
         return out

@@ -121,14 +121,24 @@ class BpDecoder(BpDecoderBase):
         self._decoding = (self._decoding ^ rv).astype(np.uint8)
         return self._decoding.astype(dtype)
 
-    def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
+    def decode_batch(
+        self,
+        syndromes: np.ndarray,
+        *,
+        bit_packed_syndromes: bool = False,
+        bit_packed_output: bool = False,
+    ) -> np.ndarray:
         """Decode a (B, m) batch of syndromes in one device program.
 
         Returns the (B, n) decodings; per-element ``converge``/``iter``/
         ``log_prob_ratios`` are exposed as batch arrays on the instance
         (``converge_batch``, ``iter_batch``, ``log_prob_ratios_batch``).
+        ``bit_packed_syndromes``/``bit_packed_output`` take/return
+        little-endian bit-packed rows (stim b8 layout).
         """
-        syndromes = np.atleast_2d(np.asarray(syndromes))
+        syndromes = self._coerce_batch_syndromes(
+            syndromes, bit_packed_syndromes
+        )
         if syndromes.shape[1] != self.m:
             raise ValueError(
                 f"The syndromes must have shape (batch, {self.m}). Not {syndromes.shape}."
@@ -138,6 +148,8 @@ class BpDecoder(BpDecoderBase):
         self.iter_batch = np.asarray(result.iterations)
         self.log_prob_ratios_batch = np.asarray(result.llr_posterior)
         decodings = np.asarray(result.decoding)
+        if bit_packed_output:
+            return np.packbits(decodings, axis=1, bitorder="little")
         return decodings
 
     def _single_scan_fn(self):

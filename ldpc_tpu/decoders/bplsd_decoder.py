@@ -161,11 +161,19 @@ class BpLsdDecoder(BpDecoderBase):
         out = self.decode_batch(syndrome[None, :].astype(np.uint8))[0]
         return out.astype(syndrome.dtype)
 
-    def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
+    def decode_batch(
+        self,
+        syndromes: np.ndarray,
+        *,
+        bit_packed_syndromes: bool = False,
+        bit_packed_output: bool = False,
+    ) -> np.ndarray:
         """Batched BP, then one LSD program over the compacted
         non-converged subset (always the full batch when
         ``always_run_lsd``)."""
-        syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+        syndromes = self._coerce_batch_syndromes(
+            syndromes, bit_packed_syndromes
+        )
         if syndromes.shape[1] != self.m:
             raise ValueError(
                 f"The syndromes must have shape (batch, {self.m}). "
@@ -234,6 +242,8 @@ class BpLsdDecoder(BpDecoderBase):
         # OSD_OFF=0 and OSD_0=1 (osd.hpp:18-23; the constructor's
         # 0/1/2 aliases map to 1/2/3 there)
         self._statistics.lsd_method = max(self._lsd_method, -1) + 1
+        if bit_packed_output:
+            return np.packbits(out, axis=1, bitorder="little")
         return out
 
     @property

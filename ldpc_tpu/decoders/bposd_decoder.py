@@ -297,8 +297,10 @@ class BpOsdDecoder(BpDecoderBase):
         """One jitted program per chunk: unpack packed syndromes ->
         fused-VMEM BP -> device top-K compaction of non-converged elements
         -> fused GF(2) elimination (OSD-0) -> merge + bit-pack. The host
-        pulls only the packed decodings and a tiny metadata vector
-        (packed converged bits + iteration counts + failure count); BP
+        pulls ONE uint8 buffer per chunk — packed decodings, packed
+        converged bits, the failure count and uint16 iteration counts
+        back-to-back — because on a tunneled link every distinct D2H pull
+        pays ~25 ms of round-trip latency regardless of size. BP
         LLRs/decodings stay on device and are pulled lazily on property
         access. The failure count lets the host detect (rare) bucket
         overflow without an extra sync."""
@@ -341,16 +343,18 @@ class BpOsdDecoder(BpDecoderBase):
             out = out * nonzero[:, None].astype(out.dtype)
             nfail = (~conv_eff).sum().astype(jnp.int32)
             packed_dec = pack_bits_u8(out)  # (Bpad, ceil(n/8))
-            meta = jnp.concatenate(
+            iters_u16 = jnp.minimum(bp.iterations, 0xFFFF).astype(jnp.uint16)
+            buf = jnp.concatenate(
                 [
+                    packed_dec.reshape(-1),
                     pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
                     jax.lax.bitcast_convert_type(nfail, jnp.uint8),
                     jax.lax.bitcast_convert_type(
-                        bp.iterations, jnp.uint8
+                        iters_u16, jnp.uint8
                     ).reshape(-1),
                 ]
-            )  # (Bpad/8 + 4 + 4*Bpad,) uint8
-            return packed_dec, meta, bp.llr_posterior, bp.decoding
+            )  # (Bpad*Wb + Bpad/8 + 4 + 2*Bpad,) uint8
+            return buf, bp.llr_posterior, bp.decoding
 
         fn = jax.jit(program)
         self._decoder_cache[key] = fn
@@ -360,15 +364,25 @@ class BpOsdDecoder(BpDecoderBase):
     def _round_up(x: int, mult: int) -> int:
         return -(-x // mult) * mult
 
-    _TPU_CHUNK = 16384
+    # chunked H2D/compute/D2H pipeline granularity: small enough that the
+    # first result lands while later chunks still stream in, large enough
+    # that per-pull link latency (~25 ms here) amortises
+    _TPU_CHUNK = 8192
 
-    def _decode_batch_tpu(self, syndromes: np.ndarray, nonzero) -> np.ndarray:
+    def _decode_batch_tpu(
+        self,
+        packed_all: np.ndarray,
+        B0: int,
+        nonzero,
+        bit_packed_output: bool = False,
+    ) -> np.ndarray:
         """Chunked pipeline over the tunnel: each chunk's H2D/compute/D2H
         overlaps the neighbours' via JAX async dispatch +
-        ``copy_to_host_async`` — the slow link never idles the chip."""
-        B0 = syndromes.shape[0]
-        packed_all = np.packbits(syndromes, axis=1, bitorder="little")
+        ``copy_to_host_async``, and every chunk costs exactly ONE D2H pull
+        (all results ride one uint8 buffer) — on a tunneled link each pull
+        pays ~25 ms latency, so pulls, not bytes, dominate."""
         CH = self._TPU_CHUNK
+        Wb = -(-self.n // 8)
         starts = list(range(0, B0, CH)) or [0]
         launches = []
         for st in starts:
@@ -385,43 +399,47 @@ class BpOsdDecoder(BpDecoderBase):
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
                 )
             dev = jnp.asarray(chunk)
-            pd, meta, llrs, bpd = self._tpu_fused_fn(Bpad, K)(dev)
-            pd.copy_to_host_async()
-            meta.copy_to_host_async()
-            launches.append((st, Bc, Bpad, K, dev, pd, meta, llrs, bpd))
+            buf, llrs, bpd = self._tpu_fused_fn(Bpad, K)(dev)
+            buf.copy_to_host_async()
+            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd))
 
-        Wb = -(-self.n // 8)
-        out = np.empty((B0, self.n), np.uint8)
+        out_packed = np.empty((B0, Wb), np.uint8)
+        out = None if bit_packed_output else np.empty((B0, self.n), np.uint8)
         conv = np.empty(B0, bool)
         iters = np.empty(B0, np.int32)
         llr_chunks, bpd_chunks = [], []
-        for st, Bc, Bpad, K, dev, pd, meta, llrs, bpd in launches:
-            meta_np = np.asarray(meta)
-            nfail = int(
-                np.ascontiguousarray(meta_np[Bpad // 8 : Bpad // 8 + 4])
-                .view(np.int32)[0]
-            )
+        for st, Bc, Bpad, K, dev, buf, llrs, bpd in launches:
+            buf_np = np.asarray(buf)
+            o1 = Bpad * Wb
+            o2 = o1 + Bpad // 8
+            o3 = o2 + 4
+            nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
             if nfail > K:  # bucket overflow: redo chunk with a full bucket
-                pd, meta, llrs, bpd = self._tpu_fused_fn(Bpad, Bpad)(dev)
-                meta_np = np.asarray(meta)
-            pd_np = np.asarray(pd)
+                buf, llrs, bpd = self._tpu_fused_fn(Bpad, Bpad)(dev)
+                buf_np = np.asarray(buf)
+            pd_np = buf_np[:o1].reshape(Bpad, Wb)
             conv_bits = np.unpackbits(
-                meta_np[: Bpad // 8], count=Bc, bitorder="little"
+                buf_np[o1:o2], count=Bc, bitorder="little"
             ).astype(bool)
             it_np = (
-                np.ascontiguousarray(meta_np[Bpad // 8 + 4 :])
-                .view(np.int32)[:Bc]
+                np.ascontiguousarray(buf_np[o3:])
+                .view(np.uint16)[:Bc]
+                .astype(np.int32)
             )
-            out[st : st + Bc] = osd_ops.gf2.unpack_bits_u8(
-                pd_np[:Bc], self.n
-            )
+            out_packed[st : st + Bc] = pd_np[:Bc]
+            if out is not None:
+                out[st : st + Bc] = osd_ops.gf2.unpack_bits_u8(
+                    pd_np[:Bc], self.n
+                )
             conv[st : st + Bc] = conv_bits
             iters[st : st + Bc] = it_np
             llr_chunks.append(llrs)
             bpd_chunks.append(bpd)
 
         conv |= ~nonzero
-        out[~nonzero] = 0
+        out_packed[~nonzero] = 0
+        if out is not None:
+            out[~nonzero] = 0
 
         self.converge_batch = conv
         self.iter_batch = iters
@@ -436,28 +454,65 @@ class BpOsdDecoder(BpDecoderBase):
         self._bp_decoding = None
         self._log_prob_ratios = llr_chunks[0][0]
         self._nonzero_mask = nonzero
-        self._osd0_batch = out  # OSD-0 == OSD-w at order 0
-        self._osd0_packed_dev = None
-        self._osdw_decoding = out[0]
-        self._decoding = out[0]
+        # OSD-0 == OSD-w at order 0; unpacked lazily when output is packed
+        self._osd0_batch = out
+        self._osd0_packed_dev = out_packed if out is None else None
+        row0 = (
+            out[0]
+            if out is not None
+            else osd_ops.gf2.unpack_bits_u8(out_packed[:1], self.n)[0]
+        )
+        self._osdw_decoding = row0
+        self._decoding = row0
+        # None -> the property unpacks from the packed copy on first access
         self.osdw_decoding_batch = out
-        return out
+        return out_packed if bit_packed_output else out
 
-    def decode_batch(self, syndromes: np.ndarray) -> np.ndarray:
+    def decode_batch(
+        self,
+        syndromes: np.ndarray,
+        *,
+        bit_packed_syndromes: bool = False,
+        bit_packed_output: bool = False,
+    ) -> np.ndarray:
         """Decode a (B, m) batch: batched BP, then one OSD program over the
         compacted non-converged subset.
 
         Device<->host traffic is minimised for tunneled/remote chips: the
         failed-subset gather, result merge and bit-packing all run on
-        device; only the converged flags and packed decodings cross."""
-        syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
-        if syndromes.shape[1] != self.m:
-            raise ValueError(
-                f"The syndromes must have shape (batch, {self.m}). "
-                f"Not {syndromes.shape}."
-            )
-        B = syndromes.shape[0]
-        nonzero = syndromes.any(axis=1)
+        device; only the converged flags and packed decodings cross.
+        ``bit_packed_syndromes`` accepts little-endian bit-packed input
+        (``(B, ceil(m/8))`` uint8, stim b8 layout) and
+        ``bit_packed_output`` returns ``(B, ceil(n/8))`` packed decodings
+        — together they cut the tunneled-link traffic 8x and skip the
+        host-side pack/unpack entirely (the device programs already work
+        on packed words)."""
+        Wm = -(-self.m // 8)
+        if bit_packed_syndromes:
+            packed_all = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+            if packed_all.shape[1] != Wm:
+                raise ValueError(
+                    f"Bit-packed syndromes must have shape (batch, {Wm}). "
+                    f"Not {packed_all.shape}."
+                )
+            if self.m % 8:
+                packed_all = packed_all.copy()
+                packed_all[:, -1] &= (1 << (self.m % 8)) - 1
+            syndromes = None
+        else:
+            syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
+            if syndromes.shape[1] != self.m:
+                raise ValueError(
+                    f"The syndromes must have shape (batch, {self.m}). "
+                    f"Not {syndromes.shape}."
+                )
+            packed_all = None
+        B = (packed_all if syndromes is None else syndromes).shape[0]
+        nonzero = (
+            packed_all.any(axis=1)
+            if syndromes is None
+            else syndromes.any(axis=1)
+        )
 
         from ldpc_tpu.ops import bp as bp_ops
 
@@ -470,12 +525,26 @@ class BpOsdDecoder(BpDecoderBase):
         )
         if use_tpu_fused:
             try:
-                return self._decode_batch_tpu(syndromes, nonzero)
+                if packed_all is None:
+                    packed_all = np.packbits(
+                        syndromes, axis=1, bitorder="little"
+                    )
+                return self._decode_batch_tpu(
+                    packed_all, B, nonzero, bit_packed_output
+                )
             except ValueError as exc:
                 if "VMEM budget" not in str(exc):
                     raise
                 # code too large for the fused kernels: XLA path instead
                 self._fused_unavailable = True
+
+        if syndromes is None:
+            syndromes = np.unpackbits(
+                packed_all, axis=1, count=self.m, bitorder="little"
+            )
+        if bit_packed_output:
+            out = self.decode_batch(syndromes)
+            return np.packbits(out, axis=1, bitorder="little")
 
         syn_dev = jnp.asarray(syndromes)
         use_cascade = (
@@ -634,7 +703,7 @@ class BpOsdDecoder(BpDecoderBase):
     @property
     def osd0_decoding_batch(self) -> np.ndarray:
         """OSD-0 decodings for the whole batch (pulled from the device
-        packed copy on first access)."""
+        packed copy / unpacked from the packed host copy on first access)."""
         if self._osd0_batch is None:
             arr = osd_ops.gf2.unpack_bits_u8(
                 np.asarray(self._osd0_packed_dev), self.n
@@ -642,6 +711,18 @@ class BpOsdDecoder(BpDecoderBase):
             arr[~self._nonzero_mask] = 0
             self._osd0_batch = arr
         return self._osd0_batch
+
+    @property
+    def osdw_decoding_batch(self) -> np.ndarray:
+        """OSD-w decodings for the whole batch (lazily unpacked when the
+        decode returned bit-packed output)."""
+        if self._osdw_batch is None:
+            self._osdw_batch = self.osd0_decoding_batch
+        return self._osdw_batch
+
+    @osdw_decoding_batch.setter
+    def osdw_decoding_batch(self, value) -> None:
+        self._osdw_batch = value
 
     @property
     def osd0_decoding(self) -> np.ndarray:

@@ -22,8 +22,12 @@ try:  # sinter is optional
     import sinter
 
     _SinterDecoder = sinter.Decoder
+    _SinterCompiledDecoder = sinter.CompiledDecoder
 except ImportError:  # pragma: no cover
     class _SinterDecoder:  # minimal stand-in so the module imports
+        pass
+
+    class _SinterCompiledDecoder:
         pass
 
 from ldpc_tpu.ckt_noise.dem_matrices import (
@@ -31,11 +35,42 @@ from ldpc_tpu.ckt_noise.dem_matrices import (
 )
 
 
+class _SinterCompiledBp(_SinterCompiledDecoder):
+    """In-process compiled decoder for sinter's fast bit-packed path:
+    packed detector shots in, packed observable predictions out. The
+    packed shots feed ``decode_batch(bit_packed_syndromes=True)``
+    directly — stim's b8 layout IS the decoder's packed layout, so the
+    worker never materialises unpacked detector data."""
+
+    def __init__(self, decoder, observables_matrix):
+        self.decoder = decoder
+        self._obs = np.asarray(observables_matrix.todense(), dtype=np.uint8)
+
+    def decode_shots_bit_packed(
+        self, *, bit_packed_detection_event_data: np.ndarray
+    ) -> np.ndarray:
+        corr = self.decoder.decode_batch(
+            bit_packed_detection_event_data, bit_packed_syndromes=True
+        )
+        predictions = ((corr @ self._obs.T) % 2).astype(np.uint8)
+        return np.packbits(predictions, axis=1, bitorder="little")
+
+
 class _SinterBpBase(_SinterDecoder):
     """Shared decode_via_files / decode_batch_from_dem plumbing."""
 
     def _make_decoder(self, check_matrix, priors):
         raise NotImplementedError
+
+    def compile_decoder_for_dem(self, *, dem) -> "_SinterCompiledBp":
+        """sinter CompiledDecoder hook: keeps the decoder (and its jitted
+        programs) alive across shot batches in-process, with bit-packed
+        IO end to end."""
+        matrices = detector_error_model_to_check_matrices(dem)
+        decoder = self._make_decoder(
+            matrices.check_matrix.tocsr(), matrices.priors
+        )
+        return _SinterCompiledBp(decoder, matrices.observables_matrix)
 
     def decode_batch_from_dem(self, dem, shots: np.ndarray) -> np.ndarray:
         """Batch-decode detector shots for a detector error model;

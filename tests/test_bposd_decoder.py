@@ -113,3 +113,40 @@ def test_osd_beats_bp_on_hard_syndromes():
     out = d.decode_batch(syn)
     assert ((out @ H.T.todense() % 2) == syn).all()  # OSD always valid
     assert not d.converge_batch.all()  # BP alone failed on some
+
+
+def test_bit_packed_io_kwargs():
+    """decode_batch accepts stim-b8 bit-packed syndromes and can return
+    bit-packed decodings, across the BP-family decoders."""
+    from ldpc_tpu import BeliefFindDecoder, BpDecoder, BpLsdDecoder
+
+    code = surface_code(5)
+    H = code.hx
+    rng = np.random.default_rng(3)
+    errors = (rng.random((32, H.shape[1])) < 0.04).astype(np.uint8)
+    syn = np.asarray(errors @ H.T.todense() % 2, dtype=np.uint8)
+    packed_syn = np.packbits(syn, axis=1, bitorder="little")
+
+    for dec in (
+        BpOsdDecoder(H, error_rate=0.04, max_iter=12, osd_method="osd_0"),
+        BpDecoder(H, error_rate=0.04, max_iter=12),
+        BpLsdDecoder(H, error_rate=0.04, max_iter=12, lsd_order=0),
+        BeliefFindDecoder(H, error_rate=0.04, max_iter=12),
+    ):
+        want = dec.decode_batch(syn)
+        got = dec.decode_batch(packed_syn, bit_packed_syndromes=True)
+        assert np.array_equal(want, got), type(dec).__name__
+        got_packed = dec.decode_batch(
+            packed_syn, bit_packed_syndromes=True, bit_packed_output=True
+        )
+        assert np.array_equal(
+            np.packbits(want, axis=1, bitorder="little"), got_packed
+        ), type(dec).__name__
+
+
+def test_bit_packed_input_validation():
+    code = surface_code(3)
+    d = BpOsdDecoder(code.hx, error_rate=0.05, max_iter=5)
+    bad = np.zeros((4, 99), np.uint8)
+    with pytest.raises(ValueError, match="Bit-packed"):
+        d.decode_batch(bad, bit_packed_syndromes=True)
