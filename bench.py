@@ -36,7 +36,7 @@ BASELINE_SYNDROMES = 3000
 FALLBACK_BASELINE_RATE = 9000.0
 
 REF = "/root/reference"
-BIN_DIR = "/tmp/ldpc_tpu_bench"
+BIN_DIR = "/tmp/ldpc_tpu_bench_v2"
 BIN = os.path.join(BIN_DIR, "bench_baseline")
 
 
@@ -87,6 +87,7 @@ def measure_baseline(H, syndromes):
             "g++", "-O3", "-std=c++20", "-o", BIN, src,
             "-I", os.path.join(REF, "src_cpp"),
             "-I", os.path.join(REF, "include"),
+            "-I", os.path.join(REF, "include", "robin_map"),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)

@@ -12,17 +12,26 @@
 //         num_syndromes
 //         num_syndromes rows of m 0/1 ints
 // argv:   max_iter ms_scaling_factor osd_method(-1 off,0,1=E,2=CS) osd_order
-//         [dump_decodings(0|1)]
+//         [dump_decodings(0|1)] [decoder: osd|lsd|uf-peel|uf-matrix]
 // stdout: one line: "decoded <N> syndromes in <seconds> s"; with dump=1,
 //         followed by one 0/1 line per syndrome (the reference decoding —
-//         used by the LER-parity tests to compare logical error rates)
+//         used by the LER-parity tests to compare logical error rates).
+// decoder=lsd runs BP then LsdDecoder (osd_method/osd_order become
+// lsd_method/lsd_order); uf-* runs BP then UfDecoder peel/matrix decode
+// guided by the BP posterior LLRs (the BeliefFindDecoder composition).
 #include <chrono>
 #include <cstdio>
+#include <cstring>
 #include <iostream>
 #include <vector>
 
 #include "bp.hpp"
 #include "osd.hpp"
+#include "union_find.hpp"
+// the reference's lsd.hpp reuses union_find.hpp's include guard (UF2_H),
+// so it must be re-armed to get both decoders into one driver
+#undef UF2_H
+#include "lsd.hpp"
 
 int main(int argc, char **argv) {
     int max_iter = argc > 1 ? std::atoi(argv[1]) : 30;
@@ -52,13 +61,26 @@ int main(int argc, char **argv) {
             syndromes[s][i] = (uint8_t)v;
         }
 
+    const char *which = argc > 6 ? argv[6] : "osd";
+
     ldpc::bp::BpDecoder bpd(pcm, channel, max_iter, ldpc::bp::MINIMUM_SUM,
                             ldpc::bp::PARALLEL, ms_factor);
     ldpc::osd::OsdDecoder *osd = nullptr;
-    if (osd_method_i >= 0)
+    ldpc::lsd::LsdDecoder *lsd = nullptr;
+    ldpc::uf::UfDecoder *uf = nullptr;
+    bool uf_peel = false;
+    if (!std::strcmp(which, "lsd")) {
+        lsd = new ldpc::lsd::LsdDecoder(
+            pcm, static_cast<ldpc::osd::OsdMethod>(osd_method_i + 1),
+            osd_order);
+    } else if (!std::strncmp(which, "uf", 2)) {
+        uf = new ldpc::uf::UfDecoder(pcm);
+        uf_peel = !std::strcmp(which, "uf-peel");
+    } else if (osd_method_i >= 0) {
         osd = new ldpc::osd::OsdDecoder(
             pcm, static_cast<ldpc::osd::OsdMethod>(osd_method_i + 1), osd_order,
             channel);
+    }
 
     long long checksum = 0;
     std::vector<std::vector<uint8_t>> decodings;
@@ -66,11 +88,21 @@ int main(int argc, char **argv) {
     auto t0 = std::chrono::steady_clock::now();
     for (int s = 0; s < num; s++) {
         bpd.decode(syndromes[s]);
-        const std::vector<uint8_t> &out =
-            (!bpd.converge && osd)
-                ? (osd->decode(syndromes[s], bpd.log_prob_ratios),
-                   osd->osdw_decoding)
-                : bpd.decoding;
+        const std::vector<uint8_t> *outp = &bpd.decoding;
+        if (!bpd.converge) {
+            if (lsd)
+                outp = &lsd->lsd_decode(syndromes[s], bpd.log_prob_ratios, 1,
+                                        true);
+            else if (uf)
+                outp = uf_peel ? &uf->peel_decode(syndromes[s],
+                                                  bpd.log_prob_ratios, 1)
+                               : &uf->matrix_decode(syndromes[s],
+                                                    bpd.log_prob_ratios, 1);
+            else if (osd)
+                outp = (osd->decode(syndromes[s], bpd.log_prob_ratios),
+                        &osd->osdw_decoding);
+        }
+        const std::vector<uint8_t> &out = *outp;
         for (auto v : out) checksum += v;
         if (dump) decodings[s].assign(out.begin(), out.end());
     }
