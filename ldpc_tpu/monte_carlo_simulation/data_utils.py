@@ -1,11 +1,19 @@
 """Simulation configuration and result-merging utilities
 (reference: src_python/ldpc/monte_carlo_simulation/data_utils.py).
+
+Full pipeline parity: configuration records (``BpParams``), error-rate /
+convergence math, the result-bookkeeping helpers (``extract_settings``,
+``load_data``, ``create_outpath``) and the JSON merge family
+(``merge_datasets``/``merge_json_files`` plus the x/z/xz variants used by
+split-sided memory experiments).
 """
 
 import json
+from json.decoder import JSONDecodeError
 import os
 from dataclasses import dataclass, field, fields
 from itertools import product
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
@@ -88,6 +96,108 @@ def _update_error_rates(success_cnt, runs, code_K):
     return ler, ler_eb, wer, wer_eb
 
 
+def extract_settings(filename) -> Dict[str, List[Any]]:
+    """Collect the distinct values of every keyword across a
+    JSON-lines parameter file (reference: data_utils.py:37-53)."""
+    keyword_lists: Dict[str, List[Any]] = {}
+    with open(filename, "r") as file:
+        for line in file:
+            line = line.strip()
+            if not line:
+                continue
+            for keyword, value in json.loads(line).items():
+                values = keyword_lists.setdefault(keyword, [])
+                if value not in values:
+                    values.append(value)
+    return keyword_lists
+
+
+def load_data(input_filenames: List[str]) -> List[Dict]:
+    """Load result dicts from JSON files; a file that is missing or
+    unparsable triggers a merge of its per-worker directory first
+    (reference: data_utils.py:56-74)."""
+    data = []
+    for file in input_filenames:
+        path = Path(file)
+        try:
+            data.append(json.load(path.open()))
+        except (OSError, JSONDecodeError):
+            merge_json_files(str(path.with_suffix("")))
+            data.append(json.load(path.open()))
+    return data
+
+
+def create_outpath(
+    x_meta: bool = False,
+    z_meta: bool = False,
+    bias: Optional[List[float]] = None,
+    codename: Optional[str] = None,
+    single_stage: bool = True,
+    sus_th_depth: Optional[int] = None,
+    rounds: Optional[int] = None,
+    id: int = 0,
+    overwrite: bool = False,
+    analog_info: bool = False,
+    analog_tg: bool = False,
+    repetitions: Optional[int] = None,
+    experiment: str = "wer_per_round",
+    results_root: str = "results",
+    **kwargs,
+) -> str:
+    """Build (and reserve) the canonical result-file path for one
+    simulation configuration (reference: data_utils.py:117-187; the root
+    directory is parameterised instead of hardcoded ``results/``)."""
+    path = f"{results_root}/{experiment:s}/"
+    if analog_info:
+        path += "analog_info/"
+    elif analog_tg:
+        path += "analog_tg/"
+    else:
+        path += "hard_syndrome/"
+    if bias is not None:
+        path += (
+            f"single_stage={single_stage}/"
+            f"bias={bias[0]}_{bias[1]}_{bias[2]}/"
+        )
+    if sus_th_depth:
+        path += f"sus_th_depth={sus_th_depth}/"
+    elif rounds:
+        path += f"rounds={rounds}/"
+    if repetitions:
+        path += f"repetitions={repetitions}/"
+    path += "x-meta=true/" if x_meta else "x-meta=false/"
+    path += "z-meta=true/" if z_meta else "z-meta=false/"
+    path += f"{codename:s}/"
+
+    if "syndr_err_rate" not in kwargs or kwargs["syndr_err_rate"] is None:
+        if "sigma" in kwargs:
+            path += (
+                f"per_{kwargs['data_err_rate']:.3e}"
+                f"_sigma_{kwargs['sigma']:.3e}/"
+            )
+        if "z_sigma" in kwargs:
+            path += (
+                f"per_{kwargs['data_err_rate']:.3e}"
+                f"_x_sigma_{kwargs['x_sigma']:.3e}"
+                f"_z_sigma_{kwargs['z_sigma']:.3e}"
+            )
+    else:
+        path += (
+            f"per_{kwargs['data_err_rate']:.3e}"
+            f"_ser_{kwargs['syndr_err_rate']:.3e}/"
+        )
+
+    os.makedirs(path, exist_ok=True)
+    f_loc = os.path.join(path, f"id_{id}.json")
+    if not overwrite:
+        while os.path.exists(f_loc):
+            id += 1
+            f_loc = os.path.join(path, f"id_{id}.json")
+    if not os.path.exists(f_loc):
+        open(f_loc, "w").close()
+    return f_loc
+
+
 def merge_datasets(datasets: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Aggregate result dicts from independent runs of one experiment
     (reference: data_utils.py:255-303): run counts and success counts
@@ -113,23 +223,103 @@ def merge_datasets(datasets: List[Dict[str, Any]]) -> Dict[str, Any]:
     return merged
 
 
-def merge_json_files(input_path: str) -> None:
-    """Merge per-worker JSON result files under ``input_path`` into
-    ``<input_path>_merged`` (reference: data_utils.py:429-463)."""
-    output = []
-    for folder in sorted(os.listdir(input_path)):
-        folder_path = os.path.join(input_path, folder)
+def _merge_datasets_side(
+    datasets: List[Dict[str, Any]], side: str
+) -> Dict[str, Any]:
+    """Merge only the datasets carrying ``<side>_success_cnt``
+    (reference: data_utils.py:306-426, _merge_datasets_x/_z)."""
+    key = f"{side}_success_cnt"
+    kept = [d for d in datasets if key in d]
+    if not kept:
+        return {}
+    merged = dict(kept[0])
+    merged["nr_runs"] = sum(int(d.get("nr_runs", 0)) for d in kept)
+    success = sum(int(d.get(key, 0)) for d in kept)
+    merged[key] = success
+    if "code_K" in merged and merged["nr_runs"]:
+        ler, ler_eb, wer, wer_eb = _update_error_rates(
+            success, merged["nr_runs"], merged["code_K"]
+        )
+        merged[f"{side}_ler"] = ler
+        merged[f"{side}_ler_eb"] = ler_eb
+        merged[f"{side}_wer"] = wer
+        merged[f"{side}_wer_eb"] = wer_eb
+    return merged
+
+
+def _merge_datasets_x(datasets: List[Dict[str, Any]]) -> Dict[str, Any]:
+    return _merge_datasets_side(datasets, "x")
+
+
+def _merge_datasets_z(datasets: List[Dict[str, Any]]) -> Dict[str, Any]:
+    return _merge_datasets_side(datasets, "z")
+
+
+def _combine_xz_data(
+    xdata: Union[Dict, None], zdata: Union[Dict, None]
+) -> Dict:
+    """Combine per-side merges, renaming nr_runs to x_runs/z_runs
+    (reference: data_utils.py:581-601)."""
+    if xdata and zdata:
+        xdata["x_runs"] = xdata.pop("nr_runs")
+        zdata["z_runs"] = zdata.pop("nr_runs")
+        xdata.update(zdata)
+        return xdata
+    if xdata:
+        xdata["x_runs"] = xdata.pop("nr_runs")
+        return xdata
+    if zdata:
+        zdata["z_runs"] = zdata.pop("nr_runs")
+        return zdata
+    return {}
+
+
+def _merge_json_files(input_path: str, merge_fn) -> None:
+    """Shared walk for the merge_json_files family: merge every
+    subfolder's JSON files and write ``<parent>/<code_name>.json``
+    (reference: data_utils.py:429-463)."""
+    output_data: List[Dict[str, Any]] = []
+    for folder_name in sorted(os.listdir(input_path)):
+        folder_path = os.path.join(input_path, folder_name)
         if not os.path.isdir(folder_path):
             continue
-        data = []
-        for fname in os.listdir(folder_path):
-            if fname.endswith(".json"):
-                with open(os.path.join(folder_path, fname)) as f:
-                    data.append(json.load(f))
-        if data:
-            output.append(merge_datasets(data))
-    if output:
-        out_dir = input_path.rstrip("/") + "_merged"
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "merged.json"), "w") as f:
-            json.dump(output, f, ensure_ascii=False, indent=4)
+        data: List[Dict[str, Any]] = []
+        for filename in sorted(os.listdir(folder_path)):
+            if filename.endswith(".json"):
+                with open(os.path.join(folder_path, filename)) as f:
+                    try:
+                        data.append(json.load(f))
+                    except JSONDecodeError:
+                        pass
+        merged = merge_fn(data)
+        if merged:
+            output_data.append(merged)
+    code_name = os.path.basename(os.path.normpath(input_path))
+    parent_dir = os.path.abspath(os.path.join(input_path, os.pardir))
+    with open(os.path.join(parent_dir, f"{code_name:s}.json"), "w") as f:
+        json.dump(output_data, f, ensure_ascii=False, indent=4)
+
+
+def merge_json_files(input_path: str) -> None:
+    """(reference: data_utils.py:429-463)"""
+    _merge_json_files(input_path, merge_datasets)
+
+
+def merge_json_files_x(input_path: str) -> None:
+    """(reference: data_utils.py:466-500)"""
+    _merge_json_files(input_path, _merge_datasets_x)
+
+
+def merge_json_files_z(input_path: str) -> None:
+    """(reference: data_utils.py:503-537)"""
+    _merge_json_files(input_path, _merge_datasets_z)
+
+
+def merge_json_files_xz(input_path: str) -> None:
+    """(reference: data_utils.py:540-578)"""
+    _merge_json_files(
+        input_path,
+        lambda data: _combine_xz_data(
+            _merge_datasets_x(data), _merge_datasets_z(data)
+        ),
+    )

@@ -99,3 +99,89 @@ def test_surface_code_d5_fixture():
     )
     out = dec.decode_batch(syndromes)
     assert ((out @ hx.T.toarray()) % 2 == syndromes).all()
+
+
+from ldpc_tpu import UnionFindDecoder  # noqa: E402
+from ldpc_tpu.codes import surface_code, toric_code  # noqa: E402
+
+
+def _decoder_matrix(hx, p, max_iter=10):
+    """The cross-decoder panel of the reference's big-code sweeps
+    (reference: python_test/test_qcodes.py:322-533)."""
+    common = dict(
+        error_rate=p,
+        max_iter=max_iter,
+        bp_method="ms",
+        ms_scaling_factor=0.625,
+        schedule="parallel",
+    )
+    return {
+        "bposd0": BpOsdDecoder(hx, osd_method="osd_0", **common),
+        "bplsd0": BpLsdDecoder(hx, lsd_order=0, **common),
+        "belief_find": BeliefFindDecoder(hx, uf_method="inversion", **common),
+        "uf": UnionFindDecoder(hx, uf_method="inversion"),
+    }
+
+
+@pytest.mark.parametrize("distance", [4, 8, 12])
+def test_surface_code_sweep_cross_decoder(distance):
+    """Surface-code d-sweep: every decoder family returns syndrome-valid
+    corrections and LERs fall in mutually consistent windows
+    (reference: python_test/test_qcodes.py:95-234 pattern, scaled)."""
+    code = surface_code(distance, compute_logicals=True)
+    hx = code.hx
+    Hd = np.asarray(hx.todense(), np.uint8)
+    lx = np.asarray(code.lx.todense(), np.uint8)
+    p = 0.04
+    rng = np.random.default_rng(100 + distance)
+    B = 256
+    errors = (rng.random((B, Hd.shape[1])) < p).astype(np.uint8)
+    syndromes = (errors @ Hd.T % 2).astype(np.uint8)
+
+    lers = {}
+    for name, dec in _decoder_matrix(hx, p).items():
+        out = np.asarray(dec.decode_batch(syndromes)).astype(np.uint8)
+        valid = ((out @ Hd.T) % 2 == syndromes).all(axis=1)
+        assert valid.all(), (distance, name, int((~valid).sum()))
+        fails = (((errors ^ out) @ lx.T % 2) != 0).any(axis=1)
+        lers[name] = float(fails.mean())
+
+    # at p=0.04 (below threshold) the BP+postprocessing family decodes
+    # the bulk of shots; plain UF (no BP) is allowed to be worse
+    for name in ("bposd0", "bplsd0", "belief_find"):
+        assert lers[name] < 0.35, (distance, name, lers)
+    # and the BP-guided decoders agree with each other within a loose
+    # cross-decoder window (they share the same BP front end)
+    vals = [lers[k] for k in ("bposd0", "bplsd0", "belief_find")]
+    assert max(vals) - min(vals) < 0.15, (distance, lers)
+
+
+@pytest.mark.parametrize(
+    "name,loader",
+    [
+        ("surface_20", lambda: ("hx_surface_20.npz", "lx_surface_20.npz")),
+        ("toric_20", lambda: ("hx_toric_20.npz", "lx_toric_20.npz")),
+    ],
+)
+def test_d20_fixture_cross_decoder(name, loader):
+    """The reference's own d=20 fixtures, decoded by the full panel at
+    p=0.05 (reference: python_test/test_qcodes.py:322-533)."""
+    hx_name, lx_name = loader()
+    hx = _load(hx_name)
+    Hd = np.asarray(hx.todense(), np.uint8)
+    lx = np.asarray(_load(lx_name).todense(), np.uint8)
+    p = 0.05
+    rng = np.random.default_rng(42)
+    B = 128
+    errors = (rng.random((B, Hd.shape[1])) < p).astype(np.uint8)
+    syndromes = (errors @ Hd.T % 2).astype(np.uint8)
+
+    lers = {}
+    for dname, dec in _decoder_matrix(hx, p).items():
+        out = np.asarray(dec.decode_batch(syndromes)).astype(np.uint8)
+        valid = ((out @ Hd.T) % 2 == syndromes).all(axis=1)
+        assert valid.all(), (name, dname, int((~valid).sum()))
+        fails = (((errors ^ out) @ lx.T % 2) != 0).any(axis=1)
+        lers[dname] = float(fails.mean())
+    # d=20 at p=0.05 sits below threshold for BP+OSD-style decoding
+    assert lers["bposd0"] < 0.4, (name, lers)

@@ -255,3 +255,109 @@ def test_examples_compile():
     root = pathlib.Path(__file__).resolve().parent.parent / "examples"
     for f in sorted(root.glob("*.py")):
         py_compile.compile(str(f), doraise=True)
+
+
+def test_data_utils_merge_pipeline(tmp_path):
+    """Round-trip of the result-merge pipeline: per-worker JSON files in
+    subfolders merge into <parent>/<code_name>.json with summed tallies
+    and recomputed rates (reference: data_utils.py:255-463)."""
+    import json
+
+    from ldpc_tpu.monte_carlo_simulation.data_utils import (
+        _combine_xz_data,
+        calculate_error_rates,
+        extract_settings,
+        load_data,
+        merge_datasets,
+        merge_json_files,
+        merge_json_files_xz,
+    )
+
+    d1 = {
+        "code_K": 2,
+        "nr_runs": 100,
+        "x_success_cnt": 90,
+        "z_success_cnt": 95,
+        "p": 0.01,
+    }
+    d2 = {
+        "code_K": 2,
+        "nr_runs": 300,
+        "x_success_cnt": 280,
+        "z_success_cnt": 290,
+        "p": 0.01,
+    }
+    merged = merge_datasets([d1, d2])
+    assert merged["nr_runs"] == 400
+    assert merged["x_success_cnt"] == 370
+    assert merged["z_success_cnt"] == 385
+    ler, ler_eb, wer, wer_eb = calculate_error_rates(370, 400, {"k": 2})
+    assert merged["x_ler"] == ler and merged["x_wer"] == wer
+
+    # on-disk layout: <root>/<code>/<config>/<id>.json
+    root = tmp_path / "results"
+    cfg = root / "toric" / "per_1e-2"
+    cfg.mkdir(parents=True)
+    (cfg / "id_0.json").write_text(json.dumps(d1))
+    (cfg / "id_1.json").write_text(json.dumps(d2))
+    (cfg / "broken.json").write_text("{not json")  # skipped, not fatal
+    merge_json_files(str(root / "toric"))
+    out = json.loads((root / "toric.json").read_text())
+    assert len(out) == 1 and out[0]["nr_runs"] == 400
+
+    # x/z split merge: datasets missing a side are excluded from it
+    (cfg / "id_0.json").write_text(
+        json.dumps({"code_K": 2, "nr_runs": 100, "x_success_cnt": 90})
+    )
+    (cfg / "id_1.json").write_text(
+        json.dumps({"code_K": 2, "nr_runs": 50, "z_success_cnt": 45})
+    )
+    merge_json_files_xz(str(root / "toric"))
+    out = json.loads((root / "toric.json").read_text())[0]
+    assert out["x_runs"] == 100 and out["x_success_cnt"] == 90
+    assert out["z_runs"] == 50 and out["z_success_cnt"] == 45
+
+    # load_data falls back to merging the per-worker directory
+    loaded = load_data([str(root / "toric.json")])
+    assert loaded[0][0]["x_runs"] == 100
+    missing = root / "toric2"
+    (missing / "cfg").mkdir(parents=True)
+    (missing / "cfg" / "id_0.json").write_text(json.dumps(d1))
+    loaded = load_data([str(root / "toric2.json")])
+    assert loaded[0][0]["nr_runs"] == 100
+
+    # settings extraction over a JSON-lines parameter file
+    params = tmp_path / "params.jsonl"
+    params.write_text(
+        '{"p": 0.01, "code": "a"}\n{"p": 0.02, "code": "a"}\n'
+    )
+    settings = extract_settings(params)
+    assert settings == {"p": [0.01, 0.02], "code": ["a"]}
+
+    assert _combine_xz_data(None, None) == {}
+
+
+def test_data_utils_create_outpath(tmp_path):
+    from ldpc_tpu.monte_carlo_simulation.data_utils import create_outpath
+
+    f1 = create_outpath(
+        codename="toric",
+        bias=[1.0, 1.0, 1.0],
+        rounds=8,
+        repetitions=4,
+        data_err_rate=0.01,
+        syndr_err_rate=0.02,
+        results_root=str(tmp_path / "results"),
+    )
+    assert f1.endswith("id_0.json") and os.path.exists(f1)
+    # no-overwrite: the next call reserves the next id
+    f2 = create_outpath(
+        codename="toric",
+        bias=[1.0, 1.0, 1.0],
+        rounds=8,
+        repetitions=4,
+        data_err_rate=0.01,
+        syndr_err_rate=0.02,
+        results_root=str(tmp_path / "results"),
+    )
+    assert f2.endswith("id_1.json")
