@@ -26,6 +26,11 @@ from ldpc_tpu.monte_carlo_simulation.quasi_single_shot import (  # noqa: F401
     QssSimulator,
     QSS_SimulatorV2,
 )
+from ldpc_tpu.monte_carlo_simulation.device_qss import (  # noqa: F401
+    DeviceQss,
+    make_qss_step,
+    make_sharded_qss_step,
+)
 
 __all__ = [
     "MonteCarloBscSimulation",
@@ -39,4 +44,7 @@ __all__ = [
     "simulation_utils",
     "QssSimulator",
     "QSS_SimulatorV2",
+    "DeviceQss",
+    "make_qss_step",
+    "make_sharded_qss_step",
 ]

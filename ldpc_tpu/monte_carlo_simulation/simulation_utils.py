@@ -46,16 +46,16 @@ def generate_err(
     """Sample an X/Z Pauli error pair on top of a residual error
     (reference: simulation_utils.py:90-127)."""
     px, py, pz = (np.asarray(c, dtype=float) for c in channel_probs)
-    rx, rz = (np.asarray(r).copy() for r in residual_err)
     rand = np.random.random(N)
     z_hit = rand < pz
     x_hit = (~z_hit) & (rand < pz + px)
     y_hit = (~z_hit) & (~x_hit) & (rand < pz + px + py)
-    # hits flip the residual bit; non-hits stay zero (as in the reference)
-    error_x = np.zeros(N, dtype=np.int64)
-    error_z = np.zeros(N, dtype=np.int64)
-    error_z[z_hit | y_hit] = (rz[z_hit | y_hit] + 1) % 2
-    error_x[x_hit | y_hit] = (rx[x_hit | y_hit] + 1) % 2
+    # the reference aliases the residual: hits FLIP the residual bit,
+    # non-hits KEEP it (simulation_utils.py:104-125)
+    error_x = np.asarray(residual_err[0]).astype(np.int64).copy()
+    error_z = np.asarray(residual_err[1]).astype(np.int64).copy()
+    error_z[z_hit | y_hit] ^= 1
+    error_x[x_hit | y_hit] ^= 1
     return error_x, error_z
 
 

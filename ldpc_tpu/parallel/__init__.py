@@ -17,11 +17,23 @@ from ldpc_tpu.parallel.sharding import (  # noqa: F401
     unshard,
     psum_tally,
 )
+from ldpc_tpu.parallel.distributed import (  # noqa: F401
+    global_device_count,
+    initialize as initialize_distributed,
+    is_distributed,
+    local_device_count,
+    process_count,
+)
 from ldpc_tpu.parallel.window import (  # noqa: F401
     ROUNDS_AXIS,
     WindowDecodeResult,
     make_rounds_sharded_window_decoder,
     make_window_decoder,
+)
+from ldpc_tpu.parallel.tensor_parallel import (  # noqa: F401
+    CODE_AXIS,
+    TpBpDecoder,
+    make_tp_bp_decoder,
 )
 
 __all__ = [
@@ -35,4 +47,12 @@ __all__ = [
     "psum_tally",
     "make_window_decoder",
     "make_rounds_sharded_window_decoder",
+    "CODE_AXIS",
+    "TpBpDecoder",
+    "make_tp_bp_decoder",
+    "initialize_distributed",
+    "is_distributed",
+    "process_count",
+    "local_device_count",
+    "global_device_count",
 ]

@@ -36,6 +36,42 @@ def test_qss_low_noise_succeeds(method):
     assert out["x_success_cnt"] >= 25  # low noise: mostly successful
 
 
+def test_generate_err_reference_parity():
+    """Pin generate_err to the reference semantics
+    (simulation_utils.py:90-127): one uniform draw per qubit; a Z/X/Y hit
+    FLIPS the corresponding residual bit; non-hit bits KEEP the residual."""
+    from ldpc_tpu.monte_carlo_simulation.simulation_utils import generate_err
+
+    N = 64
+    rng = np.random.default_rng(3)
+    px = rng.random(N) * 0.2
+    py = rng.random(N) * 0.2
+    pz = rng.random(N) * 0.2
+    rx = rng.integers(0, 2, N).astype(np.int64)
+    rz = rng.integers(0, 2, N).astype(np.int64)
+
+    np.random.seed(11)
+    got_x, got_z = generate_err(
+        N, [px, py, pz], [rx.copy(), rz.copy()]
+    )
+
+    # oracle: scalar transliteration of the reference's njit loop
+    np.random.seed(11)
+    want_x, want_z = rx.copy(), rz.copy()
+    for i in range(N):
+        r = np.random.random()
+        if r < pz[i]:
+            want_z[i] ^= 1
+        elif r < pz[i] + px[i]:
+            want_x[i] ^= 1
+        elif r < pz[i] + px[i] + py[i]:
+            want_z[i] ^= 1
+            want_x[i] ^= 1
+
+    assert np.array_equal(got_x, want_x)
+    assert np.array_equal(got_z, want_z)
+
+
 def test_qss_validation():
     H, L = toric1d()
     with pytest.raises(ValueError, match="even"):
