@@ -124,7 +124,7 @@ def measure_device_mc():
         ERROR_RATE,
         logicals=code.lx,
         batch_size=16384,
-        rounds_per_call=8,
+        rounds_per_call=64,  # amortise the ~23 ms tunneled-dispatch cost
         max_iter=MAX_ITER,
         ms_scaling_factor=MS_FACTOR,
     )

@@ -313,11 +313,35 @@ class BpOsdDecoder(BpDecoderBase):
 
         graph = self.graph
         m, n = self.m, self.n
+        # Two-phase cascade inside one program (mirrors
+        # ``_decode_batch_cascade``): cheap phase-1 BP over the whole
+        # chunk, then full-depth BP + OSD only on the compacted top-K
+        # non-converged bucket. Per-element BP is deterministic, so
+        # bucket elements reproduce exactly what a single full-depth run
+        # would give; elements that converged in phase 1 are already
+        # frozen at their final state. The host redoes the chunk with
+        # K=Bpad if phase-1 failures overflow the bucket, so outputs
+        # are exact in every case.
+        p1 = min(self._CASCADE_ITERS, self._max_iter)
+        two_phase = K > 0 and p1 < self._max_iter
+        interp = getattr(self, "_fused_interpret", False)  # CPU-mode tests
         bp_fn = bp_pallas.make_parallel_decoder_pallas(
-            graph, self._bp_method, self._max_iter, self._ms_scaling_factor
+            graph, self._bp_method,
+            p1 if two_phase else self._max_iter,
+            self._ms_scaling_factor,
+            interpret=interp,
+        )
+        bp2_fn = (
+            bp_pallas.make_parallel_decoder_pallas(
+                graph, self._bp_method, self._max_iter,
+                self._ms_scaling_factor,
+                interpret=interp,
+            )
+            if two_phase
+            else None
         )
         osd_fn = (
-            gf2_pallas.make_osd0_solver(graph)
+            gf2_pallas.make_osd0_solver(graph, interpret=interp)
             if self._osd_method != osd_ops.OSD_OFF and K > 0
             else None
         )
@@ -328,22 +352,36 @@ class BpOsdDecoder(BpDecoderBase):
             bp = bp_fn(syn, init_llr)
             nonzero = syn.any(axis=1)
             conv_eff = bp.converged | ~nonzero
-            if osd_fn is not None:
+            dec, llrs, iters = bp.decoding, bp.llr_posterior, bp.iterations
+            nfail = (~conv_eff).sum().astype(jnp.int32)
+            if two_phase or osd_fn is not None:
                 order = jnp.argsort(conv_eff, stable=True)  # failed first
                 idx = order[:K]
                 syn_f = jnp.take(syn, idx, axis=0)
-                llr_f = jnp.take(bp.llr_posterior, idx, axis=0)
-                x0, _ = osd_fn(syn_f, llr_f)
-                rowfail = ~jnp.take(conv_eff, idx)
-                bp_rows = jnp.take(bp.decoding, idx, axis=0)
-                merged = jnp.where(rowfail[:, None], x0, bp_rows)
-                out = bp.decoding.at[idx].set(merged)
+                if two_phase:
+                    bp2 = bp2_fn(syn_f, init_llr)
+                    sub_dec = bp2.decoding
+                    sub_conv = bp2.converged | ~syn_f.any(axis=1)
+                    sub_llr, sub_iters = bp2.llr_posterior, bp2.iterations
+                    llrs = llrs.at[idx].set(sub_llr)
+                    dec = dec.at[idx].set(sub_dec)
+                    conv_eff = conv_eff.at[idx].set(sub_conv)
+                    iters = iters.at[idx].set(sub_iters)
+                else:
+                    sub_dec = jnp.take(dec, idx, axis=0)
+                    sub_conv = jnp.take(conv_eff, idx)
+                    sub_llr = jnp.take(llrs, idx, axis=0)
+                if osd_fn is not None:
+                    x0, _ = osd_fn(syn_f, sub_llr)
+                    merged = jnp.where(sub_conv[:, None], sub_dec, x0)
+                else:
+                    merged = sub_dec
+                out = dec.at[idx].set(merged)
             else:
-                out = bp.decoding
+                out = dec
             out = out * nonzero[:, None].astype(out.dtype)
-            nfail = (~conv_eff).sum().astype(jnp.int32)
             packed_dec = pack_bits_u8(out)  # (Bpad, ceil(n/8))
-            iters_u16 = jnp.minimum(bp.iterations, 0xFFFF).astype(jnp.uint16)
+            iters_u16 = jnp.minimum(iters, 0xFFFF).astype(jnp.uint16)
             buf = jnp.concatenate(
                 [
                     packed_dec.reshape(-1),
@@ -354,7 +392,7 @@ class BpOsdDecoder(BpDecoderBase):
                     ).reshape(-1),
                 ]
             )  # (Bpad*Wb + Bpad/8 + 4 + 2*Bpad,) uint8
-            return buf, bp.llr_posterior, bp.decoding
+            return buf, llrs, dec
 
         fn = jax.jit(program)
         self._decoder_cache[key] = fn

@@ -49,6 +49,7 @@ def make_mc_decoder_step(
     osd_method: str = "osd_0",
     bucket_fraction: int = 8,
     use_pallas: Optional[bool] = None,
+    phase1_iters: Optional[int] = None,
 ):
     """Build a jitted Monte-Carlo step ``fn(key) -> counters``.
 
@@ -61,6 +62,18 @@ def make_mc_decoder_step(
     did not fit the OSD bucket (kept their BP output — conservatively
     counted in the failure statistics); a non-zero value means
     ``bucket_fraction`` should be lowered.
+
+    Two-phase BP: a short full-batch pass (``phase1_iters``, default
+    ``min(max_iter, 6)``) filters the easy lanes, then the compacted
+    non-converged bucket re-runs BP from scratch at full ``max_iter``
+    before OSD. Per-lane BP trajectories are deterministic, so bucket
+    lanes reproduce exactly what one full-depth run would give them and
+    converged lanes already hold their final (frozen) output — results
+    are identical to single-phase except for bucket overflow, which the
+    overflow counter reports. With most lanes converging in a few
+    iterations this removes the straggler-serialised tail that otherwise
+    forces every batch tile to run all ``max_iter`` iterations.
+    Set ``phase1_iters=max_iter`` (or ``>=``) to disable.
     """
     pcm = convert_to_binary_sparse(pcm)
     graph = compile_pcm(pcm)
@@ -88,6 +101,9 @@ def make_mc_decoder_step(
         "1",
     ) else bp_ops.PRODUCT_SUM
     run_osd = str(osd_method).lower() not in ("off", "osd_off", "-1")
+    if phase1_iters is None:
+        phase1_iters = min(max_iter, 6)
+    two_phase = phase1_iters < max_iter
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -96,9 +112,13 @@ def make_mc_decoder_step(
             from ldpc_tpu.ops.bp_pallas import make_parallel_decoder_pallas
             from ldpc_tpu.ops.gf2_pallas import make_osd0_solver
 
-            bp_fn = make_parallel_decoder_pallas(
-                graph, method, max_iter, ms_scaling_factor
-            )
+            def mk_bp(iters):
+                return make_parallel_decoder_pallas(
+                    graph, method, iters, ms_scaling_factor
+                )
+
+            bp_fn = mk_bp(phase1_iters if two_phase else max_iter)
+            bp2_fn = mk_bp(max_iter) if two_phase else None
             osd_fn = make_osd0_solver(graph) if run_osd else None
         except ValueError as exc:
             if "VMEM budget" not in str(exc):
@@ -108,7 +128,15 @@ def make_mc_decoder_step(
         from ldpc_tpu.ops import osd as osd_ops
 
         bp_fn = bp_ops.make_parallel_decoder(
-            graph, method, max_iter, ms_scaling_factor
+            graph, method, phase1_iters if two_phase else max_iter,
+            ms_scaling_factor
+        )
+        bp2_fn = (
+            bp_ops.make_parallel_decoder(
+                graph, method, max_iter, ms_scaling_factor
+            )
+            if two_phase
+            else None
         )
         if run_osd:
             _xla_osd = osd_ops.make_osd_decoder(
@@ -131,17 +159,29 @@ def make_mc_decoder_step(
         syn = (syn_f32 - 2.0 * jnp.floor(syn_f32 * 0.5)).astype(jnp.uint8)
         bp = bp_fn(syn, init_llr)
         conv = bp.converged
-        if osd_fn is not None:
+        iters = bp.iterations
+        nfail_p1 = (~conv).sum().astype(jnp.int32)
+        if two_phase or osd_fn is not None:
             order = jnp.argsort(conv, stable=True)  # failed first
             idx = order[:K]
             syn_sub = jnp.take(syn, idx, axis=0)
-            llr_sub = jnp.take(bp.llr_posterior, idx, axis=0)
-            x0, _ = osd_fn(syn_sub, llr_sub)
-            rowfail = ~jnp.take(conv, idx)
-            merged = jnp.where(
-                rowfail[:, None], x0, jnp.take(bp.decoding, idx, axis=0)
-            )
+            if two_phase:
+                bp2 = bp2_fn(syn_sub, init_llr)
+                sub_dec, sub_conv = bp2.decoding, bp2.converged
+                sub_llr, sub_iters = bp2.llr_posterior, bp2.iterations
+            else:
+                sub_dec = jnp.take(bp.decoding, idx, axis=0)
+                sub_conv = jnp.take(conv, idx)
+                sub_llr = jnp.take(bp.llr_posterior, idx, axis=0)
+                sub_iters = jnp.take(iters, idx)
+            if osd_fn is not None:
+                x0, _ = osd_fn(syn_sub, sub_llr)
+                merged = jnp.where(sub_conv[:, None], sub_dec, x0)
+            else:
+                merged = sub_dec
             decoding = bp.decoding.at[idx].set(merged)
+            conv = conv.at[idx].set(sub_conv)
+            iters = iters.at[idx].set(sub_iters)
         else:
             decoding = bp.decoding
         residual = errors ^ decoding
@@ -161,9 +201,9 @@ def make_mc_decoder_step(
                 jnp.int32(B),
                 fail.sum().astype(jnp.int32),
                 conv.sum().astype(jnp.int32),
-                bp.iterations.sum().astype(jnp.int32),
+                iters.sum().astype(jnp.int32),
                 nfail_bp,
-                jnp.maximum(nfail_bp - K, 0),
+                jnp.maximum(nfail_p1 - K, 0),
             ]
         )
 

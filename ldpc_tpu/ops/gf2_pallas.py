@@ -74,7 +74,7 @@ def _osd0_kernel(
     bc = jax.lax.bitcast_convert_type
 
     def body(state):
-        j, used, used_cnt, col_of_row = state
+        j, used, used_cnt, col_of_row, _ = state
         ordw = order_ref[pl.ds(j, 1), :].astype(jnp.int32)  # (1, TB)
         word = ordw >> 5
         bit = (ordw & 31).astype(u32)
@@ -109,19 +109,32 @@ def _osd0_kernel(
         col_of_row = jnp.where(is_piv > 0, ordw, col_of_row)
         used = used | is_piv
         used_cnt = used_cnt + has.astype(jnp.int32)
-        return (j + 1, used, used_cnt, col_of_row)
+        # fast-solve exit (reference gf2sparse_linalg.hpp:298-401): once a
+        # lane has no unreduced syndrome 1 left, every later pivot row has
+        # syndrome bit 0, so Gauss-Jordan can no longer change any used
+        # row's syndrome bit and the solution readout is frozen — further
+        # columns would only add x0 bits that read 0. Stop the lane there
+        # (or at full rank, whichever first).
+        sb = (M_ref[ws] >> bs) & one
+        unres = jnp.max(
+            bc(sb * (one - used), jnp.int32), axis=0, keepdims=True
+        )
+        act = ((unres > 0) & (used_cnt < rank)).astype(jnp.int32)
+        return (j + 1, used, used_cnt, col_of_row, act)
 
     def cond(state):
-        j, _, used_cnt, _ = state
-        return (j < n) & (jnp.min(used_cnt) < rank)
+        j, _, _, _, act = state
+        return (j < n) & (jnp.max(act) > 0)
 
+    s_any = jnp.max(bc(s_ref[:], jnp.int32), axis=0, keepdims=True)
     state0 = (
         jnp.int32(0),
         s_ref[:] * jnp.uint32(0),
         zrow,
         rows * 0,  # col_of_row, concrete zeros (masked by `used` below)
+        (s_any > 0).astype(jnp.int32),
     )
-    _, used, _, col_of_row = jax.lax.while_loop(cond, body, state0)
+    _, used, _, col_of_row, _ = jax.lax.while_loop(cond, body, state0)
 
     # x0[col_of_row[r]] = final syndrome bit of row r, for used rows.
     # Distinct rows own distinct columns, so the per-word sum equals the

@@ -143,3 +143,58 @@ def test_bp_pallas_bf16_matmul_mode(workload):
     syn_np = np.asarray(syn)
     valid = ((dec @ H.T) % 2 == syn_np).all(axis=1)
     assert (valid | ~conv_p).all()
+
+
+def test_fused_decode_batch_two_phase_matches_plain_path():
+    """The fused single-dispatch TPU program (`_decode_batch_tpu`) runs a
+    two-phase cascade; its results must be element-for-element identical
+    to a single-phase full-depth run of the same fused program (per-lane
+    BP determinism). The XLA plain path is only compared loosely —
+    min-sum tie flips make cross-engine bit equality impossible on
+    non-converged lanes — but converged flags and iteration counts must
+    agree with it exactly."""
+    from ldpc_tpu.decoders.bposd_decoder import BpOsdDecoder
+
+    code = surface_code(5)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    rng = np.random.default_rng(3)
+    B = 300
+    errors = (rng.random((B, H.shape[1])) < 0.12).astype(np.uint8)
+    syn = (errors @ H.T % 2).astype(np.uint8)
+    syn[7] = 0  # exercise the zero-syndrome fast path inside the program
+
+    def build():
+        return BpOsdDecoder(
+            code.hx,
+            error_rate=0.12,
+            max_iter=18,
+            bp_method="minimum_sum",
+            ms_scaling_factor=0.625,
+            osd_method="osd_0",
+            osd_order=0,
+        )
+
+    packed = np.packbits(syn, axis=1, bitorder="little")
+    nonzero = syn.any(axis=1)
+
+    ref = build()
+    ref._fused_interpret = True
+    ref._CASCADE_ITERS = 18  # phase-1 == max_iter: single-phase program
+    out_ref = ref.decode_batch(syn)  # CPU plain path for the loose checks
+    conv_ref = ref.converge_batch.copy()
+    iter_ref = ref.iter_batch.copy()
+    out_single = ref._decode_batch_tpu(packed, B, nonzero)
+    llr_single = np.asarray(ref.log_prob_ratios_batch)
+
+    dec = build()
+    dec._fused_interpret = True
+    out_fused = dec._decode_batch_tpu(packed, B, nonzero)
+    # exact equality vs the single-phase fused program
+    assert (out_fused == out_single).all()
+    assert (np.asarray(dec.log_prob_ratios_batch) == llr_single).all()
+    # exact convergence/iteration parity vs the plain XLA path too
+    assert (dec.converge_batch == conv_ref).all()
+    assert (dec.iter_batch == iter_ref).all()
+    # every decoding must reproduce its syndrome
+    assert ((out_fused @ H.T) % 2 == syn).all()
+    assert ((out_ref @ H.T) % 2 == syn).all()
