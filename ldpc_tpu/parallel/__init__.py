@@ -35,6 +35,11 @@ from ldpc_tpu.parallel.tensor_parallel import (  # noqa: F401
     TpBpDecoder,
     make_tp_bp_decoder,
 )
+from ldpc_tpu.parallel.pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    make_pipeline_mesh,
+    make_pipelined_decoder,
+)
 
 __all__ = [
     "BATCH_AXIS",
@@ -50,6 +55,9 @@ __all__ = [
     "CODE_AXIS",
     "TpBpDecoder",
     "make_tp_bp_decoder",
+    "STAGE_AXIS",
+    "make_pipeline_mesh",
+    "make_pipelined_decoder",
     "initialize_distributed",
     "is_distributed",
     "process_count",
