@@ -268,7 +268,9 @@ def make_parallel_decoder_pallas(
     # adds dc*M8*N8 words. Fit under a ~11 MB budget (VMEM is ~16 MB/core
     # and pallas double-buffers the blocked inputs).
     M8, N8 = _round_up(m, 8), _round_up(n, 8)
-    const_bytes = dc * M8 * N8 * 4
+    # bf16 halves the one-hot constant, doubling the code size the fused
+    # kernel can hold before falling back to the XLA engine
+    const_bytes = dc * M8 * N8 * (2 if bf16_matmul else 4)
     per_lane = (4 * N8 + 4 * dc * M8 + M8) * 4
     budget = 11 * 1024 * 1024 - const_bytes
     while tile_b > 128 and per_lane * tile_b > budget:

@@ -67,6 +67,7 @@ def batched_rref(
     H_perm_bits: jnp.ndarray,
     syndrome: jnp.ndarray,
     with_transform: bool = True,
+    fast_exit: bool = False,
 ) -> RrefResult:
     """Gauss-Jordan reduce a batch of column-permuted GF(2) systems.
 
@@ -77,7 +78,17 @@ def batched_rref(
       with_transform: also carry the m x m row-transform block (needed for
         re-solving against shifted syndromes, e.g. OSD-w candidates); skip
         it for plain solves — a third less elimination traffic.
+      fast_exit: stop an element's participation once its syndrome is
+        fully reduced (the reference's fast_solve,
+        gf2sparse_linalg.hpp:298-401). ``x0``, ``valid`` and the
+        per-row "unreduced syndrome 1" flags are provably unchanged, but
+        ``is_pivot``/``piv_row_of_col``/``row_used`` are left incomplete
+        for early-exited elements — only enable when callers consume the
+        former set (OSD-0 does; LSD-w's nullity bookkeeping does not).
+        Incompatible with ``with_transform``.
     """
+    if fast_exit and with_transform:
+        raise ValueError("fast_exit requires with_transform=False")
     B, m, n = H_perm_bits.shape
     # augmented: [H_perm | syndrome (| I_m)], packed along columns
     blocks = [
@@ -91,9 +102,10 @@ def batched_rref(
     aug_bits = jnp.concatenate(blocks, axis=2)
     M0 = pack_u32(aug_bits)  # (B, m, W)
     row_ids = jnp.arange(m, dtype=jnp.int32)
+    sw, sb_shift = n // 32, jnp.uint32(n % 32)  # syndrome column position
 
     def step(carry):
-        M, used, piv_row_of_col, j = carry
+        M, used, piv_row_of_col, done, j = carry
         w = j // 32
         b = (j % 32).astype(jnp.uint32)
         col = (jax.lax.dynamic_index_in_dim(M, w, axis=2, keepdims=False) >> b) & 1
@@ -107,21 +119,35 @@ def batched_rref(
         M = jnp.where(elim[:, :, None], M ^ piv_vec, M)
         used = used | (is_piv_row & has[:, None])
         piv_row_of_col = piv_row_of_col.at[:, j].set(jnp.where(has, piv, m))
-        return (M, used, piv_row_of_col, j + 1)
+        if fast_exit:
+            # fast-solve (reference gf2sparse_linalg.hpp:298-401): once an
+            # element has no unreduced syndrome 1 left, every later pivot
+            # row carries syndrome bit 0, so no syndrome bit (hence no x0
+            # readout or validity flag) can change — the element is done.
+            sbit = (
+                jax.lax.dynamic_index_in_dim(M, sw, axis=2, keepdims=False)
+                >> sb_shift
+            ) & 1
+            solved = ~((sbit == 1) & ~used).any(axis=1)
+            done = done | solved | used.all(axis=1)
+        return (M, used, piv_row_of_col, done, j + 1)
 
     def cond(carry):
-        _, used, _, j = carry
-        # once every element has consumed all its rows, the remaining
-        # columns can't pivot — stop (big win when n >> rank)
+        _, used, _, done, j = carry
+        # stop when every element is done: all rows used (no more pivots
+        # possible) or — under fast_exit — its syndrome is solved
+        if fast_exit:
+            return (j < n) & ~jnp.all(done)
         return (j < n) & ~jnp.all(used)
 
     carry0 = (
         M0,
         jnp.zeros((B, m), bool),
         jnp.full((B, n), m, dtype=jnp.int32),
+        jnp.zeros((B,), bool),
         jnp.int32(0),
     )
-    M, used, piv_row_of_col, _ = jax.lax.while_loop(cond, step, carry0)
+    M, used, piv_row_of_col, _, _ = jax.lax.while_loop(cond, step, carry0)
 
     is_pivot = piv_row_of_col < m
     all_bits = unpack_u32(M, n + 1 + (m if with_transform else 0))

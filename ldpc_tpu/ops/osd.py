@@ -96,7 +96,13 @@ def make_osd_decoder(
         order = jnp.argsort(llrs, axis=1, stable=True).astype(jnp.int32)
         H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
         res = gf2.batched_rref(
-            H_perm, syndromes.astype(jnp.uint8), with_transform=not order0
+            H_perm,
+            syndromes.astype(jnp.uint8),
+            with_transform=not order0,
+            # OSD-0 only consumes x0/valid, so the per-element fast-solve
+            # exit (reference fast_solve semantics) is safe and skips the
+            # long rank-completion tail of the elimination
+            fast_exit=order0,
         )
         dec0 = (
             jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(res.x0)
