@@ -88,3 +88,31 @@ def test_sharded_mc_step_8_device_mesh():
     assert out[0] == runs == 8 * 512
     assert 0 <= out[1] <= out[0]
     assert out[2] > 0  # something converged
+
+
+def test_two_phase_matches_single_phase_counters():
+    """The two-phase BP cascade (short phase-1 pass + full-depth re-run
+    on the compacted bucket) must produce identical counters to a
+    single-phase full-depth run when the bucket does not overflow —
+    per-lane BP determinism makes it a pure reordering of work."""
+    import jax
+
+    from ldpc_tpu.codes import surface_code
+    from ldpc_tpu.monte_carlo_simulation import make_mc_decoder_step
+
+    code = surface_code(5, compute_logicals=True)
+    kw = dict(
+        logicals=code.lx,
+        batch_size=512,
+        rounds_per_call=3,
+        max_iter=25,
+        ms_scaling_factor=0.625,
+    )
+    single, _ = make_mc_decoder_step(
+        code.hx, 0.03, phase1_iters=25, bucket_fraction=2, **kw
+    )
+    two, _ = make_mc_decoder_step(code.hx, 0.03, bucket_fraction=2, **kw)
+    a = list(map(int, single(jax.random.key(11))))
+    b = list(map(int, two(jax.random.key(11))))
+    assert b[5] == 0, f"bucket overflow in test workload: {b}"
+    assert a == b
