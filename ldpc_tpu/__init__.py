@@ -37,6 +37,8 @@ _DECODER_EXPORTS = {
     "BpDecoder": "ldpc_tpu.decoders.bp_decoder",
     "SoftInfoBpDecoder": "ldpc_tpu.decoders.bp_decoder",
     "BpOsdDecoder": "ldpc_tpu.decoders.bposd_decoder",
+    "SoftInfoBpOsdDecoder": "ldpc_tpu.decoders.bposd_decoder",
+    "SinterBpOsdDecoder": "ldpc_tpu.sinter_decoders",
     "BpLsdDecoder": "ldpc_tpu.decoders.bplsd_decoder",
     "BeliefFindDecoder": "ldpc_tpu.decoders.belief_find",
     "UnionFindDecoder": "ldpc_tpu.decoders.union_find",

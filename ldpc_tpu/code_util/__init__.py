@@ -14,8 +14,10 @@ from ldpc_tpu.code_util.code_util import (  # noqa: F401
     estimate_code_distance,
     search_cycles,
 )
+from ldpc_tpu.code_util._legacy_v1 import compute_code_distance  # noqa: F401
 
 __all__ = [
+    "compute_code_distance",
     "construct_generator_matrix",
     "estimate_code_distance",
     "compute_code_dimension",

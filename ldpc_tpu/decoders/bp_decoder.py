@@ -264,7 +264,8 @@ class SoftInfoBpDecoder(BpDecoderBase):
         self._converge = bool(self.converge_batch[0])
         self._iter = int(self.iter_batch[0])
         self._log_prob_ratios = self.log_prob_ratios_batch[0]
-        self._soft_syndrome = np.asarray(soft_out)[0]
+        self.soft_syndrome_batch = np.asarray(soft_out)
+        self._soft_syndrome = self.soft_syndrome_batch[0]
         decodings = np.asarray(result.decoding)
         self._decoding = decodings[0]
         return decodings.astype(np.uint8)

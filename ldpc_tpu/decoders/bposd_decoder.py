@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_tpu.decoders.base import BpDecoderBase
+from ldpc_tpu.decoders.bp_decoder import SoftInfoBpDecoder
 from ldpc_tpu.ops import osd as osd_ops
 
 _METHOD_NAMES = {
@@ -773,3 +774,65 @@ class BpOsdDecoder(BpDecoderBase):
         if self._converge:
             return np.asarray(self._bp_decoding).astype(int)
         return np.asarray(self._osdw_decoding).astype(int)
+
+
+class SoftInfoBpOsdDecoder(SoftInfoBpDecoder):
+    """Soft-syndrome BP with an OSD fallback.
+
+    The reference declares this class (bposd_decoder/__init__.py:1,
+    _bposd_decoder.pxd:31) but its implementation is commented out
+    (_bposd_decoder.pyx:302-582); this is a live implementation of that
+    commented spec: serial min-sum soft-info BP (arXiv:2205.02341), and
+    on non-convergence the final soft syndrome is hardened
+    (value <= 0 -> 1, _bposd_decoder.pyx:425-429) and OSD runs on it
+    guided by the BP posterior LLRs.
+    """
+
+    def __init__(
+        self,
+        pcm: Union[np.ndarray, scipy.sparse.spmatrix],
+        error_rate: Optional[float] = None,
+        error_channel: Optional[List[float]] = None,
+        max_iter: Optional[int] = 0,
+        ms_scaling_factor: Optional[float] = 1.0,
+        osd_method: Union[str, int, float] = 0,
+        osd_order: int = 0,
+        cutoff: Optional[float] = np.inf,
+        sigma: float = 2.0,
+        **kwargs,
+    ):
+        super().__init__(
+            pcm,
+            error_rate=error_rate,
+            error_channel=error_channel,
+            max_iter=max_iter,
+            ms_scaling_factor=ms_scaling_factor,
+            cutoff=cutoff,
+            sigma=sigma,
+            **kwargs,
+        )
+        self._osd_method = 0
+        self._osd_order = 0
+        self.osd_method = osd_method
+        self.osd_order = osd_order
+
+    osd_method = BpOsdDecoder.osd_method
+    osd_order = BpOsdDecoder.osd_order
+    _invalidate_osd = BpOsdDecoder._invalidate_osd
+    _osd_decode_fn = BpOsdDecoder._osd_decode_fn
+
+    def decode_batch(self, soft_syndromes: np.ndarray) -> np.ndarray:
+        bp_out = super().decode_batch(soft_syndromes)
+        conv = self.converge_batch
+        if conv.all() or self._osd_method == osd_ops.OSD_OFF:
+            return bp_out
+        # harden the post-BP soft syndrome: <= 0 means violated
+        soft_all = np.atleast_2d(np.asarray(self.soft_syndrome_batch))
+        failed = np.flatnonzero(~conv)
+        hard = (soft_all[failed] <= 0).astype(np.uint8)
+        llr_f = jnp.asarray(self.log_prob_ratios_batch[failed])
+        d0, dw, _ = self._osd_decode_fn()(jnp.asarray(hard), llr_f)
+        out = bp_out.copy()
+        out[failed] = np.asarray(dw, np.uint8)
+        self._decoding = out[0]
+        return out

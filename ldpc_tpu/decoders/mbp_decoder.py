@@ -105,21 +105,7 @@ class MbpDecoder:
             raise ValueError("Please specify an error_rate or error_channel.")
         self._channel = chan
 
-        alpha = alpha_parameter
-        if isinstance(alpha, (float, int)):
-            self._alpha = np.full((3, self.qubit_count), float(alpha))
-        else:
-            alpha = np.asarray(alpha, dtype=np.float64)
-            if alpha.size == 3:
-                self._alpha = np.tile(alpha.reshape(3, 1), (1, self.qubit_count))
-            elif alpha.size == 3 * self.qubit_count:
-                self._alpha = alpha.reshape(3, self.qubit_count)
-            else:
-                raise ValueError(
-                    "The 'alpha' input must be either a single double "
-                    "variable or a 3xN np.ndarray of doubles, where N is the "
-                    f"qubit count. The current input has dimensions {alpha.shape}."
-                )
+        self._alpha = self._parse_alpha(alpha_parameter)
 
         sval = str(bp_method).lower()
         if sval in ("prod_sum", "product_sum", "ps", "0", "prod sum"):
@@ -153,6 +139,40 @@ class MbpDecoder:
         self._llrs = np.zeros((3, self.qubit_count))
 
     # ------------------------------------------------------------------
+    def _parse_alpha(self, alpha) -> np.ndarray:
+        """Scalar, (3,) per-Pauli, or (3, n) per-Pauli-per-qubit alpha
+        (reference: _mbp_decoder.pyx:144-175)."""
+        if isinstance(alpha, (float, int)):
+            return np.full((3, self.qubit_count), float(alpha))
+        alpha = np.asarray(alpha, dtype=np.float64)
+        if alpha.size == 3:
+            return np.tile(alpha.reshape(3, 1), (1, self.qubit_count))
+        if alpha.size == 3 * self.qubit_count:
+            return alpha.reshape(3, self.qubit_count)
+        raise ValueError(
+            "The 'alpha' input must be either a single double "
+            "variable or a 3xN np.ndarray of doubles, where N is the "
+            f"qubit count. The current input has dimensions {alpha.shape}."
+        )
+
+    def update_alpha(self, alpha) -> None:
+        """Replace the MBP memory-strength parameter and rebuild the
+        decode program (reference: _mbp_decoder.pyx:144-175; a no-op when
+        ``alpha`` is None, as upstream)."""
+        if alpha is None:
+            return
+        self._alpha = self._parse_alpha(alpha)
+        self._fn = mbp_ops.make_mbp_decoder(
+            self._g4,
+            self._channel,
+            self.max_iter,
+            self._alpha,
+            self.beta_parameter,
+            self.bp_method,
+            self.gamma_parameter,
+            dtype=self._dtype,
+        )
+
     @property
     def alpha(self) -> np.ndarray:
         return self._alpha.copy()

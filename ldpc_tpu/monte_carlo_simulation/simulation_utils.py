@@ -12,6 +12,8 @@ import numpy as np
 from scipy.special import erfc, erfcinv
 
 from ldpc_tpu import mod2
+from ldpc_tpu.alist import alist2numpy  # noqa: F401  (parity re-export:
+# the reference defines its own fixed copy at simulation_utils.py:29-49)
 
 
 def set_seed(value: int) -> None:
@@ -145,3 +147,56 @@ def get_binary_from_analog(analog_syndrome: np.ndarray) -> np.ndarray:
 
 def _dense(M) -> np.ndarray:
     return np.asarray(M.todense() if hasattr(M, "todense") else M)
+
+
+def save_results(
+    success_cnt: int,
+    nr_runs: int,
+    p: float,
+    s: float,
+    input_vals: dict,
+    outfile: str,
+    code_params,
+    err_side: str = "X",
+    bp_iterations: int = None,
+    bp_params=None,
+) -> dict:
+    """Write one simulation result record as JSON
+    (reference: simulation_utils.py:246-288): LER/WER with binomial error
+    bars, run bookkeeping and the full input configuration; ``bias``
+    infinities are JSON-encoded as "i"."""
+    import json
+
+    from ldpc_tpu.monte_carlo_simulation.data_utils import (
+        calculate_error_rates,
+        replace_inf,
+    )
+
+    ler, ler_eb, wer, wer_eb = calculate_error_rates(
+        success_cnt, nr_runs, code_params
+    )
+    output = {
+        "code_K": code_params["k"],
+        "code_N": code_params["n"],
+        "nr_runs": nr_runs,
+        "pers": p,
+        "sers": s,
+        f"{err_side}_ler": ler,
+        f"{err_side}_ler_eb": ler_eb,
+        f"{err_side}_wer": wer,
+        f"{err_side}_wer_eb": wer_eb,
+        f"{err_side}_success_cnt": success_cnt,
+        "avg_bp_iterations": bp_iterations / nr_runs
+        if bp_iterations is not None
+        else None,
+        "bp_params": bp_params,
+    }
+    output.update(input_vals)
+    if "bias" in output:
+        output["bias"] = replace_inf(output["bias"])
+    with open(outfile, "w") as f:
+        json.dump(
+            output, f, ensure_ascii=False, indent=4,
+            default=lambda o: o.__dict__,
+        )
+    return output
