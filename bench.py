@@ -127,6 +127,12 @@ def measure_device_mc():
         rounds_per_call=64,  # amortise the ~23 ms tunneled-dispatch cost
         max_iter=MAX_ITER,
         ms_scaling_factor=MS_FACTOR,
+        # 3 cheap full-batch iterations before straggler compaction: at this
+        # workload the counters (fails/converged/iters/osd_used, overflow 0)
+        # are bit-identical to single-phase max_iter=30 — measured, see
+        # tests/test_device_mc.py two-phase equality — while cutting wall
+        # time ~15% vs the default 6 (phase-1 trips dominate).
+        phase1_iters=3,
     )
     out = step(jax.random.key(0))  # warmup + compile
     counters = list(map(int, out))

@@ -50,6 +50,7 @@ def make_mc_decoder_step(
     bucket_fraction: int = 8,
     use_pallas: Optional[bool] = None,
     phase1_iters: Optional[int] = None,
+    bf16_matmul: bool = False,
 ):
     """Build a jitted Monte-Carlo step ``fn(key) -> counters``.
 
@@ -114,7 +115,8 @@ def make_mc_decoder_step(
 
             def mk_bp(iters):
                 return make_parallel_decoder_pallas(
-                    graph, method, iters, ms_scaling_factor
+                    graph, method, iters, ms_scaling_factor,
+                    bf16_matmul=bf16_matmul,
                 )
 
             bp_fn = mk_bp(phase1_iters if two_phase else max_iter)

@@ -112,7 +112,14 @@ def test_two_phase_matches_single_phase_counters():
         code.hx, 0.03, phase1_iters=25, bucket_fraction=2, **kw
     )
     two, _ = make_mc_decoder_step(code.hx, 0.03, bucket_fraction=2, **kw)
+    # phase1_iters=3 is what bench.py uses on the headline workload
+    three, _ = make_mc_decoder_step(
+        code.hx, 0.03, phase1_iters=3, bucket_fraction=2, **kw
+    )
     a = list(map(int, single(jax.random.key(11))))
     b = list(map(int, two(jax.random.key(11))))
+    c = list(map(int, three(jax.random.key(11))))
     assert b[5] == 0, f"bucket overflow in test workload: {b}"
     assert a == b
+    assert c[5] == 0, f"bucket overflow in test workload: {c}"
+    assert a == c
