@@ -126,44 +126,45 @@ class BpDecoderBase:
             self._random_serial_schedule,
         )
 
+    def _make_parallel_bp(self, iters: int):
+        """A batched parallel-schedule BP program at ``iters`` depth:
+        the fused-VMEM pallas kernel on TPU (f32), the XLA engine
+        otherwise (CPU backends, f64 exact-parity mode, codes whose
+        constants exceed the kernel's VMEM budget)."""
+        if jax.default_backend() == "tpu" and self._dtype == jnp.float32:
+            try:
+                from ldpc_tpu.ops.bp_pallas import (
+                    make_parallel_decoder_pallas,
+                )
+
+                return make_parallel_decoder_pallas(
+                    self.graph,
+                    self._bp_method,
+                    iters,
+                    self._ms_scaling_factor,
+                )
+            except ValueError as exc:
+                if "VMEM budget" not in str(exc):
+                    raise
+        return bp_ops.make_parallel_decoder(
+            self.graph,
+            self._bp_method,
+            iters,
+            self._ms_scaling_factor,
+            dtype=self._dtype,
+        )
+
     def _bp_decode_fn(self):
         """The jitted batched BP program for the current configuration.
 
         On TPU the parallel schedule uses the fused-VMEM pallas kernel
         (ops/bp_pallas.py) — identical decisions up to fp ties — with the
-        XLA engine as fallback (CPU backends, f64 exact-parity mode, and
-        codes whose constants exceed the kernel's VMEM budget)."""
+        XLA engine as fallback."""
         key = self._config_key()
         fn = self._decoder_cache.get(key)
         if fn is None:
             if self._schedule == bp_ops.PARALLEL:
-                if (
-                    jax.default_backend() == "tpu"
-                    and self._dtype == jnp.float32
-                ):
-                    try:
-                        from ldpc_tpu.ops.bp_pallas import (
-                            make_parallel_decoder_pallas,
-                        )
-
-                        fn = make_parallel_decoder_pallas(
-                            self.graph,
-                            self._bp_method,
-                            self._max_iter,
-                            self._ms_scaling_factor,
-                        )
-                        self._decoder_cache[key] = fn
-                        return fn
-                    except ValueError as exc:
-                        if "VMEM budget" not in str(exc):
-                            raise
-                fn = bp_ops.make_parallel_decoder(
-                    self.graph,
-                    self._bp_method,
-                    self._max_iter,
-                    self._ms_scaling_factor,
-                    dtype=self._dtype,
-                )
+                fn = self._make_parallel_bp(self._max_iter)
             else:
                 mode = (
                     bp_ops.SERIAL_RELATIVE
@@ -205,6 +206,186 @@ class BpDecoderBase:
         if self._schedule == bp_ops.PARALLEL:
             return fn(syndromes, init_llr)
         return fn(syndromes, init_llr, jnp.asarray(self._schedule_array()), self._prng_key())
+
+    # ------------------------------------------------------------------
+    # shared two-phase (cascade) postprocessing machinery: cheap
+    # full-batch BP -> device-compacted full-depth BP + postprocess on
+    # the non-converged bucket -> ONE combined device->host pull. Used
+    # by BpOsd/BpLsd/BeliefFind batch paths; per-element results are
+    # identical to a single full-depth run because per-lane BP
+    # trajectories are deterministic.
+    # ------------------------------------------------------------------
+    _CASCADE_ITERS = 6
+
+    def _cascade_fns(self):
+        """Phase-1 (cheap, full-batch) BP program for the cascade."""
+        key = ("bp_cascade", self._config_key())
+        fn = self._decoder_cache.get(key)
+        if fn is None:
+            fn = self._make_parallel_bp(min(self._CASCADE_ITERS, self._max_iter))
+            self._decoder_cache[key] = fn
+        return fn
+
+    def _pack_fn(self):
+        fn = self._decoder_cache.get("pack")
+        if fn is None:
+            from ldpc_tpu.ops import gf2
+
+            fn = jax.jit(lambda out: gf2.pack_bits_u8(out))
+            self._decoder_cache["pack"] = fn
+        return fn
+
+    def _post_epilogue_fn(self):
+        """Jitted device epilogue for the generic cascade: pick BP-vs-
+        postprocessor output per bucket element, scatter the bucket back
+        into the full batch, and bit-pack decodings + converged flags +
+        iteration counts into ONE uint8 buffer (a tunneled link pays
+        ~25 ms latency per distinct D2H pull, so everything the host
+        needs travels together)."""
+        fn = self._decoder_cache.get("post_epilogue")
+        if fn is None:
+            from ldpc_tpu.ops import gf2
+
+            def epilogue(dec1, conv1, iters1, idx, rowvalid,
+                         dec2, conv2, iters2, post_dec):
+                B = dec1.shape[0]
+                out_f = jnp.where(conv2[:, None], dec2, post_dec)
+                idxs = jnp.where(rowvalid, idx, B)  # sentinel row
+                sent = jnp.zeros((1, dec1.shape[1]), dec1.dtype)
+                out = jnp.concatenate([dec1, sent]).at[idxs].set(out_f)[:B]
+                conv = jnp.concatenate([conv1, jnp.zeros(1, bool)])
+                conv = conv.at[idxs].set(conv2)[:B]
+                iters = jnp.concatenate([iters1, jnp.zeros(1, jnp.int32)])
+                iters = iters.at[idxs].set(iters2)[:B]
+                combined = jnp.concatenate(
+                    [
+                        gf2.pack_bits_u8(out),
+                        conv.astype(jnp.uint8)[:, None],
+                        jax.lax.bitcast_convert_type(iters, jnp.uint8),
+                    ],
+                    axis=1,
+                )  # (B, Wb + 1 + 4)
+                return combined
+
+            fn = jax.jit(epilogue)
+            self._decoder_cache["post_epilogue"] = fn
+        return fn
+
+    def _compacted_post(self, post_fn, syn_f, sub_conv, sub_llr):
+        """Run ``post_fn`` only on bucket elements that failed FULL-depth
+        BP. The phase-1 bucket is sized by 6-iteration failures — often
+        ~10x the number of final failures — and the epilogue discards
+        postprocessor output for every element that converges by
+        ``max_iter``, so running the (expensive) candidate sweeps on the
+        whole bucket wastes most of their work. Costs one extra small
+        D2H pull of the bucket's converged flags; skipped for tiny
+        buckets where the pull latency would dominate."""
+        bucket = syn_f.shape[0]
+        if bucket <= 256:
+            return post_fn(syn_f, sub_llr)
+        conv2 = np.asarray(sub_conv)
+        failed2 = np.flatnonzero(~conv2)
+        if failed2.size == 0 or failed2.size > bucket // 2:
+            return post_fn(syn_f, sub_llr)
+        b2 = 1 << int(failed2.size - 1).bit_length()
+        idx2 = np.zeros(b2, np.int32)
+        idx2[: failed2.size] = failed2
+        idx2_dev = jnp.asarray(idx2)
+        rv2 = jnp.asarray(np.arange(b2) < failed2.size)
+        syn_ff = jnp.take(syn_f, idx2_dev, axis=0) * rv2[:, None].astype(
+            jnp.uint8
+        )
+        llr_ff = jnp.take(sub_llr, idx2_dev, axis=0)
+        pd = post_fn(syn_ff, llr_ff)
+        # scatter back to bucket coords through a sentinel row
+        scat = jnp.where(rv2, idx2_dev, bucket)
+        base = jnp.zeros((bucket + 1, pd.shape[1]), pd.dtype)
+        return base.at[scat].set(pd)[:bucket]
+
+    def _postprocess_cascade_batch(self, syndromes, nonzero, post_fn):
+        """Run the generic cascade; ``post_fn(syn_f, llr_f) -> dec_f`` is
+        the jittable device postprocessor applied to the compacted
+        non-converged bucket with the full-depth BP posterior LLRs.
+
+        Returns a dict: ``out_packed`` (B, ceil(n/8)) np.uint8,
+        ``conv``/``iters`` np arrays, ``llr_batch``/``bp_dec`` device
+        arrays (phase-1 values — final for converged rows), ``llr_row0``/
+        ``bp_dec_row0`` device rows with full-depth values for row 0,
+        and ``failed`` (np indices)."""
+        from ldpc_tpu.ops import gf2
+
+        B = syndromes.shape[0]
+        Wb = -(-self.n // 8)
+        syn_dev = jnp.asarray(syndromes)
+        init_llr = jnp.asarray(self._init_llr())
+        use_cascade = (
+            self._schedule == bp_ops.PARALLEL
+            and self._max_iter > self._CASCADE_ITERS
+        )
+        bp1 = (
+            self._cascade_fns()(syn_dev, init_llr)
+            if use_cascade
+            else self._run_bp_batch(syndromes)
+        )
+        conv1 = np.asarray(bp1.converged) | ~nonzero
+        failed = np.flatnonzero(~conv1)
+        if failed.size == 0:
+            out_packed = np.array(self._pack_fn()(bp1.decoding))
+            out_packed[~nonzero] = 0
+            return {
+                "out_packed": out_packed,
+                "conv": conv1,
+                "iters": np.asarray(bp1.iterations),
+                "llr_batch": bp1.llr_posterior,
+                "bp_dec": bp1.decoding,
+                "llr_row0": bp1.llr_posterior[0],
+                "bp_dec_row0": bp1.decoding[0],
+                "failed": failed,
+            }
+        bucket = 1 << int(failed.size - 1).bit_length()
+        idx = np.zeros(bucket, np.int32)
+        idx[: failed.size] = failed
+        idx_dev = jnp.asarray(idx)
+        rowvalid = jnp.asarray(np.arange(bucket) < failed.size)
+        syn_f = jnp.take(syn_dev, idx_dev, axis=0) * rowvalid[
+            :, None
+        ].astype(jnp.uint8)
+        if use_cascade:
+            bp2 = self._run_bp_batch(syn_f)
+            sub_dec, sub_conv = bp2.decoding, bp2.converged
+            sub_llr, sub_iters = bp2.llr_posterior, bp2.iterations
+        else:
+            sub_dec = jnp.take(bp1.decoding, idx_dev, axis=0)
+            sub_conv = jnp.take(bp1.converged, idx_dev)
+            sub_llr = jnp.take(bp1.llr_posterior, idx_dev, axis=0)
+            sub_iters = jnp.take(bp1.iterations, idx_dev)
+        post_dec = self._compacted_post(post_fn, syn_f, sub_conv, sub_llr)
+        combined = np.asarray(
+            self._post_epilogue_fn()(
+                bp1.decoding, bp1.converged, bp1.iterations,
+                idx_dev, rowvalid,
+                sub_dec, sub_conv, sub_iters, post_dec,
+            )
+        )  # the ONE device->host pull
+        conv = combined[:, Wb].astype(bool) | ~nonzero
+        iters = (
+            np.ascontiguousarray(combined[:, Wb + 1 : Wb + 5])
+            .view(np.int32)
+            .ravel()
+        )
+        out_packed = np.array(combined[:, :Wb])  # writable copy
+        out_packed[~nonzero] = 0
+        row0_failed = not conv1[0]
+        return {
+            "out_packed": out_packed,
+            "conv": conv,
+            "iters": iters,
+            "llr_batch": bp1.llr_posterior,
+            "bp_dec": bp1.decoding,
+            "llr_row0": sub_llr[0] if row0_failed else bp1.llr_posterior[0],
+            "bp_dec_row0": sub_dec[0] if row0_failed else bp1.decoding[0],
+            "failed": failed,
+        }
 
     def _coerce_batch_syndromes(
         self, syndromes: np.ndarray, bit_packed: bool

@@ -121,32 +121,24 @@ class BeliefFindDecoder(BpDecoderBase):
                 f"Not {syndromes.shape}."
             )
         nonzero = syndromes.any(axis=1)
-        bp = self._run_bp_batch(syndromes)
-        out = np.array(bp.decoding)
-        conv = np.asarray(bp.converged) | ~nonzero
-        out[~nonzero] = 0
-        llrs = np.asarray(bp.llr_posterior)
+        # device-compacted cascade: full-depth BP + union-find run only
+        # on the non-converged bucket, one combined D2H pull
+        # (base.py:_postprocess_cascade_batch)
+        fn = self._uf_decode_fn()
+        info = self._postprocess_cascade_batch(
+            syndromes, nonzero, lambda s, l: fn(s, l)[0]
+        )
+        from ldpc_tpu.ops import gf2
 
-        failed = np.flatnonzero(~conv)
-        if failed.size:
-            fn = self._uf_decode_fn()
-            bucket = 1 << int(failed.size - 1).bit_length()
-            pad = bucket - failed.size
-            syn_f = np.concatenate(
-                [syndromes[failed], np.zeros((pad, self.m), np.uint8)]
-            )
-            llr_f = np.concatenate(
-                [llrs[failed], np.zeros((pad, self.n), llrs.dtype)]
-            )
-            dec, _ = fn(jnp.asarray(syn_f), jnp.asarray(llr_f))
-            out[failed] = np.asarray(dec)[: failed.size]
-
+        out = gf2.unpack_bits_u8(info["out_packed"], self.n)
+        conv = info["conv"]
         self.converge_batch = conv
-        self.iter_batch = np.asarray(bp.iterations)
+        self.iter_batch = info["iters"]
+        self.log_prob_ratios_batch = info["llr_batch"]  # device; lazy
         self._converge = bool(conv[0])
         self._iter = int(self.iter_batch[0])
-        self._log_prob_ratios = llrs[0]
+        self._log_prob_ratios = np.asarray(info["llr_row0"])
         self._decoding = out[0]
         if bit_packed_output:
-            return np.packbits(out, axis=1, bitorder="little")
+            return info["out_packed"]
         return out

@@ -144,13 +144,55 @@ class BpDecoder(BpDecoderBase):
                 f"The syndromes must have shape (batch, {self.m}). Not {syndromes.shape}."
             )
         result = self._run_bp_batch(syndromes.astype(np.uint8))
-        self.converge_batch = np.asarray(result.converged)
-        self.iter_batch = np.asarray(result.iterations)
-        self.log_prob_ratios_batch = np.asarray(result.llr_posterior)
-        decodings = np.asarray(result.decoding)
+        # ONE combined device->host pull: [packed decodings | packed
+        # converged | iters u16]. On a tunneled link each pull costs
+        # ~25 ms of latency and the f32 LLR batch is ~10x the payload of
+        # everything else, so LLRs stay on device until first access.
+        buf_np = np.asarray(self._bp_epilogue_fn()(
+            result.decoding, result.converged, result.iterations
+        ))
+        B = syndromes.shape[0]
+        Wb = -(-self.n // 8)
+        o1 = B * Wb
+        o2 = o1 + (-(-B // 8))
+        packed_dec = buf_np[:o1].reshape(B, Wb)
+        self.converge_batch = np.unpackbits(
+            buf_np[o1:o2], count=B, bitorder="little"
+        ).astype(bool)
+        self.iter_batch = (
+            np.ascontiguousarray(buf_np[o2:]).view(np.uint16)[:B]
+            .astype(np.int32)
+        )
+        self.log_prob_ratios_batch = result.llr_posterior  # device; lazy
         if bit_packed_output:
-            return np.packbits(decodings, axis=1, bitorder="little")
-        return decodings
+            return packed_dec
+        from ldpc_tpu.ops import gf2
+
+        return gf2.unpack_bits_u8(packed_dec, self.n)
+
+    def _bp_epilogue_fn(self):
+        fn = self._decoder_cache.get("bp_epilogue")
+        if fn is None:
+            import jax
+            from ldpc_tpu.ops import gf2
+
+            def epilogue(dec, conv, iters):
+                return jnp.concatenate(
+                    [
+                        gf2.pack_bits_u8(dec).reshape(-1),
+                        gf2.pack_bits_u8(
+                            conv.astype(jnp.uint8)[None, :]
+                        )[0],
+                        jax.lax.bitcast_convert_type(
+                            jnp.minimum(iters, 0xFFFF).astype(jnp.uint16),
+                            jnp.uint8,
+                        ).reshape(-1),
+                    ]
+                )
+
+            fn = jax.jit(epilogue)
+            self._decoder_cache["bp_epilogue"] = fn
+        return fn
 
     def _single_scan_fn(self):
         key = ("single_scan", self._max_iter, float(self._ms_scaling_factor))

@@ -181,35 +181,54 @@ class BpLsdDecoder(BpDecoderBase):
             )
         t0 = time.perf_counter()
         nonzero = syndromes.any(axis=1)
-        bp = self._run_bp_batch(syndromes)
-        out = np.array(bp.decoding)
-        conv = np.asarray(bp.converged) | ~nonzero
-        out[~nonzero] = 0
-        llrs = np.asarray(bp.llr_posterior)
 
         if self.always_run_lsd:
+            # LSD on every nonzero element: keep the plain full-batch path
+            bp = self._run_bp_batch(syndromes)
+            out = np.array(bp.decoding)
+            conv = np.asarray(bp.converged) | ~nonzero
+            out[~nonzero] = 0
+            llrs = np.asarray(bp.llr_posterior)
             failed = np.flatnonzero(nonzero)
+            if failed.size:
+                fn = self._lsd_decode_fn()
+                bucket = 1 << int(failed.size - 1).bit_length()
+                pad = bucket - failed.size
+                syn_f = np.concatenate(
+                    [syndromes[failed], np.zeros((pad, self.m), np.uint8)]
+                )
+                llr_f = np.concatenate(
+                    [llrs[failed], np.zeros((pad, self.n), llrs.dtype)]
+                )
+                dec, _ = fn(jnp.asarray(syn_f), jnp.asarray(llr_f))
+                out[failed] = np.asarray(dec)[: failed.size]
+            self.converge_batch = conv
+            self.iter_batch = np.asarray(bp.iterations)
+            llr_row0 = llrs[0]
+            self.log_prob_ratios_batch = llrs
+            self._bp_decoding = np.asarray(bp.decoding)[0]
         else:
-            failed = np.flatnonzero(~conv)
-        if failed.size:
+            # device-compacted cascade: one combined D2H pull
+            # (base.py:_postprocess_cascade_batch)
             fn = self._lsd_decode_fn()
-            bucket = 1 << int(failed.size - 1).bit_length()
-            pad = bucket - failed.size
-            syn_f = np.concatenate(
-                [syndromes[failed], np.zeros((pad, self.m), np.uint8)]
+            info = self._postprocess_cascade_batch(
+                syndromes, nonzero, lambda s, l: fn(s, l)[0]
             )
-            llr_f = np.concatenate(
-                [llrs[failed], np.zeros((pad, self.n), llrs.dtype)]
-            )
-            dec, _ = fn(jnp.asarray(syn_f), jnp.asarray(llr_f))
-            out[failed] = np.asarray(dec)[: failed.size]
+            from ldpc_tpu.ops import gf2
 
-        self.converge_batch = conv
-        self.iter_batch = np.asarray(bp.iterations)
+            out = gf2.unpack_bits_u8(info["out_packed"], self.n)
+            conv = info["conv"]
+            failed = info["failed"]
+            self.converge_batch = conv
+            self.iter_batch = info["iters"]
+            llr_row0 = np.asarray(info["llr_row0"])
+            self.log_prob_ratios_batch = info["llr_batch"]  # device; lazy
+            self._bp_decoding = np.asarray(info["bp_dec_row0"])
+            llrs = None
+
         self._converge = bool(conv[0])
         self._iter = int(self.iter_batch[0])
-        self._log_prob_ratios = llrs[0]
-        self._bp_decoding = np.asarray(bp.decoding)[0]
+        self._log_prob_ratios = llr_row0
         self._decoding = out[0]
         lsd_ran_first = bool(failed.size) and failed[0] == 0
         if not lsd_ran_first:
@@ -224,13 +243,13 @@ class BpLsdDecoder(BpDecoderBase):
                 # primitives (lsd.hpp:652-816 semantics)
                 from ldpc_tpu.decoders.lsd_stats import compute_lsd_statistics
 
-                self._statistics.bit_llrs = list(map(float, llrs[0]))
+                self._statistics.bit_llrs = list(map(float, llr_row0))
                 self._statistics.syndrome = list(map(int, syndromes[0]))
                 compute_lsd_statistics(
                     self.graph,
                     scipy.sparse.csc_matrix(self.pcm),
                     syndromes[0],
-                    llrs[0],
+                    llr_row0,
                     self.bits_per_step,
                     out[0],
                     dtype=self._dtype,

@@ -197,24 +197,9 @@ class BpOsdDecoder(BpDecoderBase):
         out = self.decode_batch(syndrome[None, :].astype(np.uint8))[0]
         return out.astype(syndrome.dtype)
 
-    _CASCADE_ITERS = 6
-
-    def _cascade_fns(self):
-        """Phase-1 (cheap, full-batch) BP program for the cascade."""
-        key = ("bp_cascade", self._config_key())
-        fn = self._decoder_cache.get(key)
-        if fn is None:
-            from ldpc_tpu.ops import bp as bp_ops
-
-            fn = bp_ops.make_parallel_decoder(
-                self.graph,
-                self._bp_method,
-                self._CASCADE_ITERS,
-                self._ms_scaling_factor,
-                dtype=self._dtype,
-            )
-            self._decoder_cache[key] = fn
-        return fn
+    # _CASCADE_ITERS / _cascade_fns / _pack_fn inherited from
+    # BpDecoderBase (shared with BpLsd/BeliefFind; on TPU phase-1 uses
+    # the fused pallas kernel)
 
     def _epilogue_fn(self):
         """Fused device epilogue: pick BP-vs-OSD per element, scatter the
@@ -280,15 +265,6 @@ class BpOsdDecoder(BpDecoderBase):
 
             fn = jax.jit(merge_pack)
             self._decoder_cache["merge_pack"] = fn
-        return fn
-
-    def _pack_fn(self):
-        fn = self._decoder_cache.get("pack")
-        if fn is None:
-            import jax
-
-            fn = jax.jit(lambda out: osd_ops.gf2.pack_bits_u8(out))
-            self._decoder_cache["pack"] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -679,7 +655,17 @@ class BpOsdDecoder(BpDecoderBase):
                 :, None
             ].astype(jnp.uint8)
             bp2 = self._run_bp_batch(syn_f)
-            d0, dw, _ = self._osd_decode_fn()(syn_f, bp2.llr_posterior)
+
+            def _osd_pair(s, l):
+                # [osd0 | osdw] side by side so the second compaction
+                # (base.py:_compacted_post) scatters both in one pass
+                a, b, _ = self._osd_decode_fn()(s, l)
+                return jnp.concatenate([a, b], axis=1)
+
+            both = self._compacted_post(
+                _osd_pair, syn_f, bp2.converged, bp2.llr_posterior
+            )
+            d0, dw = both[:, : self.n], both[:, self.n :]
             combined, packed_0 = self._epilogue_fn()(
                 bp1.decoding, bp1.converged, bp1.iterations,
                 idx_dev, rowvalid,

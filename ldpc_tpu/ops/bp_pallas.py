@@ -95,20 +95,20 @@ def _bp_kernel_body(
     # convergence check stays exact (0/1 operands are exact in bf16).
     mm_t = jnp.bfloat16 if bf16_matmul else f32
 
-    def gather_k(k, x):
-        return jnp.dot(
-            G_ref[k * M8 : (k + 1) * M8, :],
-            x.astype(mm_t),
-            preferred_element_type=f32,
-        )
+    def gather_all(x):
+        # ONE stacked (dc*M8, N8) @ (N8, TB) matmul for every slot k —
+        # per-slot matmuls waste MXU row-tiles whenever M8 is not a
+        # multiple of 128; the stacked constant tiles exactly
+        return jnp.dot(G_ref[:], x.astype(mm_t), preferred_element_type=f32)
 
-    def scatter_k(k, x):
-        # G_k^T @ x as a transposed contraction of the same constant
-        # (contract G_k's row axis with x's row axis) — the MXU takes
-        # either operand orientation, so no transpose copy is stored
+    def scatter_all(x_stack):
+        # sum_k G_k^T @ x_k as one transposed contraction of the stacked
+        # constant: contracting G's row axis (dc*M8) against the stacked
+        # messages both sums over the row slots and rides the MXU with
+        # full row-tile occupancy; no transpose copy is stored
         return jax.lax.dot_general(
-            G_ref[k * M8 : (k + 1) * M8, :],
-            x.astype(mm_t),
+            G_ref[:],
+            x_stack.astype(mm_t),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
@@ -174,16 +174,17 @@ def _bp_kernel_body(
         # *is* the gathered hard decision, so the separate cand matmuls
         # of the naive formulation (1/3 of MXU work) disappear.
         it, itvec, llr, c2v, conv, dec, llro, iters = state
-        gk = [gather_k(k, llr) for k in range(dc)]
+        gk_all = gather_all(llr)  # (dc*M8, TB)
+        gk = [gk_all[k * M8 : (k + 1) * M8, :] for k in range(dc)]
         if bf16_matmul:
             # rounded gathers can't serve the check exactly (a tiny
             # positive llr could round to +0); gather the exact 0/1 hard
             # bits instead — bf16 one-hot matmuls on exact operands
             hard_prev = (llr <= 0).astype(f32)
-            hk = [gather_k(k, hard_prev) for k in range(dc)]
-            cand = mask_k(0) * hk[0]
+            hk_all = gather_all(hard_prev)
+            cand = mask_k(0) * hk_all[0:M8, :]
             for k in range(1, dc):
-                cand = cand + mask_k(k) * hk[k]
+                cand = cand + mask_k(k) * hk_all[k * M8 : (k + 1) * M8, :]
         else:
             cand = mask_k(0) * (gk[0] <= 0).astype(f32)
             for k in range(1, dc):
@@ -208,13 +209,10 @@ def _bp_kernel_body(
             alpha = 1.0 - jnp.exp2(-itvec)
         else:
             alpha = jnp.float32(ms_scaling_factor)
-        v2c = [gk[k] - c2v[k] for k in range(dc)]
-        c2v_new = check_update(v2c, alpha)
-        acc = llr0
-        for k in range(dc):
-            acc = acc + scatter_k(k, c2v_new[k])
-        llr_new = acc
-        return (it + 1, itvec, llr_new, tuple(c2v_new), conv, dec, llro, iters)
+        v2c = [gk[k] - c2v[k * M8 : (k + 1) * M8, :] for k in range(dc)]
+        c2v_new = jnp.concatenate(check_update(v2c, alpha), axis=0)
+        llr_new = llr0 + scatter_all(c2v_new)
+        return (it + 1, itvec, llr_new, c2v_new, conv, dec, llro, iters)
 
     def cond(state):
         # max_iter + 1 bodies: the last one only *checks* llr_{max_iter}
@@ -230,7 +228,7 @@ def _bp_kernel_body(
         jnp.int32(0),
         zrow,
         llr0,
-        tuple(s * 0.0 for _ in range(dc)),
+        jnp.concatenate([s * 0.0 for _ in range(dc)], axis=0),
         zrow,
         llr0 * 0.0,
         llr0,

@@ -273,16 +273,16 @@ def make_lsd_decoder(
         for w in range(W):
             delta = delta + H_pad.T[cols[:, :, w]].astype(jnp.int32)
         t = (syndromes[:, :, None].astype(jnp.int32) + delta.transpose(0, 2, 1)) % 2
-        # y = T @ t per batch element: (B, m, m) x (B, m, C) on the MXU
-        y = (
-            jnp.einsum(
-                "bij,bjc->bic",
-                T_dense.astype(jnp.int32),
-                t,
-                preferred_element_type=jnp.int32,
-            )
-            % 2
-        )  # (B, m, C)
+        # y = T @ t per batch element: (B, m, m) x (B, m, C) on the MXU.
+        # f32 operands — integer einsums don't ride the TPU MXU; 0/1 row
+        # sums are <= m < 2^24, exact in f32
+        yf = jnp.einsum(
+            "bij,bjc->bic",
+            T_dense.astype(jnp.float32),
+            t.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.int32)  # (B, m, C)
         y_pad = jnp.concatenate([y, jnp.zeros((B, 1, C), jnp.int32)], axis=1)
         # pivot solution per candidate, permuted coords: (B, C, n)
         xp = (

@@ -116,16 +116,28 @@ def make_osd_decoder(
         np_orig = jnp.take_along_axis(order, np_pos, axis=1)  # (B, k)
         H_np = jnp.take(H_dev, np_orig, axis=1).transpose(1, 0, 2)  # (B, m, k)
         # all shifted syndromes in one MXU pass: t = s ^ H_np @ c
-        t_delta = (
-            jnp.einsum(
-                "ck,bmk->bcm",
-                cands.astype(jnp.int32),
-                H_np.astype(jnp.int32),
-            )
-            % 2
-        ).astype(jnp.uint8)
+        # (f32 matmul + mod 2 — sums are <= k < 2^24, exact in f32, and
+        # integer einsums don't ride the TPU MXU)
+        td = jnp.einsum(
+            "ck,bmk->bcm",
+            cands.astype(jnp.float32),
+            H_np.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        t_delta = (td - 2.0 * jnp.floor(td * 0.5)).astype(jnp.uint8)
         t = syndromes[:, None, :].astype(jnp.uint8) ^ t_delta  # (B, C, m)
-        y = gf2.apply_transform(res.transform, t)  # (B, C, m)
+        # y = (T @ t) % 2 on the MXU: the packed-word popcount route
+        # materialises (B, C, m, Wm) intermediates — ~GBs of HBM traffic
+        # at bucket sizes — while the dense f32 contraction is exact
+        # (row sums <= m < 2^24) and two orders of magnitude cheaper
+        T_bits = gf2.unpack_u32(res.transform, m).astype(jnp.float32)
+        yf = jnp.einsum(
+            "bij,bcj->bci",
+            T_bits,
+            t.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.uint8)  # (B, C, m)
         # pivot-coordinate solutions per candidate
         y_pad = jnp.concatenate([y, jnp.zeros((B, y.shape[1], 1), jnp.uint8)], 2)
         prc = jnp.broadcast_to(
