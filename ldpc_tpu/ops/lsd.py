@@ -283,16 +283,21 @@ def make_lsd_decoder(
             preferred_element_type=jnp.float32,
         )
         y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.int32)  # (B, m, C)
-        y_pad = jnp.concatenate([y, jnp.zeros((B, 1, C), jnp.int32)], axis=1)
-        # pivot solution per candidate, permuted coords: (B, C, n)
-        xp = (
-            jnp.take_along_axis(
-                y_pad.transpose(0, 2, 1),
-                jnp.broadcast_to(res.piv_row_of_col[:, None, :], (B, C, n)),
-                axis=2,
-            )
-            * res.is_pivot[:, None, :]
-        )
+        # pivot solution per candidate, permuted coords: (B, C, n).
+        # xp[b,c,i] = y[b, piv_row_of_col[b,i], c] as a one-hot MXU
+        # contraction — a (B, C, n) take_along_axis lowers to scalar
+        # dynamic slices on TPU (hundreds of ms at realistic buckets).
+        # Non-pivot columns have piv_row == m -> zero one-hot row -> 0.
+        sel = (
+            res.piv_row_of_col[:, :, None]
+            == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)  # (B, n, m)
+        xp = jnp.einsum(
+            "bjc,bij->bci",
+            y.astype(jnp.float32),
+            sel,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
         score = xp.sum(axis=2).astype(jnp.int32) + sizes  # (B, C)
         score = jnp.where(valid_cand, score, jnp.int32(2**28))
 

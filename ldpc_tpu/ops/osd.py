@@ -138,12 +138,22 @@ def make_osd_decoder(
             preferred_element_type=jnp.float32,
         )
         y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.uint8)  # (B, C, m)
-        # pivot-coordinate solutions per candidate
-        y_pad = jnp.concatenate([y, jnp.zeros((B, y.shape[1], 1), jnp.uint8)], 2)
-        prc = jnp.broadcast_to(
-            res.piv_row_of_col[:, None, :], (B, y.shape[1], n)
+        # pivot-coordinate solutions per candidate. xp[b,c,i] =
+        # y[b,c,piv_row_of_col[b,i]] — as a one-hot MXU contraction, NOT
+        # take_along_axis: a (B, C, n) gather lowers to scalar dynamic
+        # slices on TPU (~650 ms at bucket 1024 vs ~1 ms here). Non-pivot
+        # columns have piv_row == m -> all-zero one-hot row -> xp 0.
+        sel = (
+            res.piv_row_of_col[:, :, None]
+            == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)  # (B, n, m)
+        xpf = jnp.einsum(
+            "bcj,bij->bci",
+            y.astype(jnp.float32),
+            sel,
+            preferred_element_type=jnp.float32,
         )
-        xp = jnp.take_along_axis(y_pad, prc, axis=2) * res.is_pivot[:, None, :]
+        xp = xpf.astype(jnp.uint8)  # exact: one-hot selection of 0/1
         # weights: pivot part + candidate part (osd.hpp:163-180)
         wt_perm = weights[order]  # (B, n)
         w_piv = jnp.einsum("bcn,bn->bc", xp.astype(dtype), wt_perm)
