@@ -101,13 +101,18 @@ def measure_baseline(H, syndromes):
     lines.append(str(len(syn)))
     lines += [" ".join(map(str, s)) for s in syn]
     try:
-        out = subprocess.run(
-            [BIN, str(MAX_ITER), str(MS_FACTOR), "0", "0"],
-            input="\n".join(lines), capture_output=True, text=True,
-            check=True, timeout=600,
-        ).stdout
-        secs = float(out.split(" in ")[1].split(" s")[0])
-        return len(syn) / secs, "measured"
+        # best-of-5: the single-core C++ rate dips up to 3x under
+        # concurrent host load; the fastest run is the honest baseline
+        best = None
+        for _ in range(5):
+            out = subprocess.run(
+                [BIN, str(MAX_ITER), str(MS_FACTOR), "0", "0"],
+                input="\n".join(lines), capture_output=True, text=True,
+                check=True, timeout=600,
+            ).stdout
+            secs = float(out.split(" in ")[1].split(" s")[0])
+            best = secs if best is None else min(best, secs)
+        return len(syn) / best, "measured"
     except Exception as exc:
         return FALLBACK_BASELINE_RATE, f"fallback(run failed: {exc})"
 
