@@ -71,6 +71,10 @@ def main():
             "UnionFindDecoder[matrix]",
             UnionFindDecoder(code.hx, uf_method=True),
         ),
+        (
+            "BeliefFindDecoder[peeling]",
+            BeliefFindDecoder(code.hx, uf_method="peeling", **common),
+        ),
     ]
     for name, dec in variants:
         try:
