@@ -387,6 +387,182 @@ class BpDecoderBase:
             "failed": failed,
         }
 
+    # ------------------------------------------------------------------
+    # generic fused single-dispatch cascade (TPU): the whole
+    # phase-1 BP -> device top-K compaction -> full-depth BP ->
+    # postprocess -> merge pipeline is ONE jitted program per chunk, and
+    # the host pulls ONE uint8 buffer per chunk. On a tunneled link every
+    # distinct D2H pull costs ~25 ms of round-trip latency, so the
+    # multi-pull `_postprocess_cascade_batch` path (host-side compaction)
+    # pays 3-4x that; this path pays it once. Mirrors BpOsdDecoder's
+    # specialised `_tpu_fused_fn` (which additionally tracks OSD-0
+    # outputs) for any `post(syn_f, llr_f) -> dec_f` postprocessor.
+    # ------------------------------------------------------------------
+    _FUSED_CHUNK = 8192
+
+    def _fused_ok(self) -> bool:
+        return (
+            jax.default_backend() == "tpu"
+            and self._schedule == bp_ops.PARALLEL
+            and self._dtype == jnp.float32
+            and not getattr(self, "_fused_unavailable", False)
+        )
+
+    def _fused_cascade_fn(self, Bpad: int, K: int, post_key, post_builder):
+        key = ("fused_cascade", post_key, self._config_key(), Bpad, K)
+        fn = self._decoder_cache.get(key)
+        if fn is not None:
+            return fn
+        from ldpc_tpu.ops import bp_pallas
+        from ldpc_tpu.ops.gf2 import pack_bits_u8, unpack_bits_u8_device
+
+        m = self.m
+        p1 = min(self._CASCADE_ITERS, self._max_iter)
+        two_phase = K > 0 and p1 < self._max_iter
+        interp = getattr(self, "_fused_interpret", False)  # CPU-mode tests
+        bp_fn = bp_pallas.make_parallel_decoder_pallas(
+            self.graph, self._bp_method,
+            p1 if two_phase else self._max_iter,
+            self._ms_scaling_factor, interpret=interp,
+        )
+        bp2_fn = (
+            bp_pallas.make_parallel_decoder_pallas(
+                self.graph, self._bp_method, self._max_iter,
+                self._ms_scaling_factor, interpret=interp,
+            )
+            if two_phase
+            else None
+        )
+        post_fn = post_builder() if K > 0 else None
+        init_llr = jnp.asarray(self._init_llr())
+
+        def program(packed_syn):
+            syn = unpack_bits_u8_device(packed_syn, m)  # (Bpad, m) uint8
+            bp = bp_fn(syn, init_llr)
+            nonzero = syn.any(axis=1)
+            conv_eff = bp.converged | ~nonzero
+            dec, llrs, iters = bp.decoding, bp.llr_posterior, bp.iterations
+            nfail = (~conv_eff).sum().astype(jnp.int32)
+            if K > 0:
+                order = jnp.argsort(conv_eff, stable=True)  # failed first
+                idx = order[:K]
+                syn_f = jnp.take(syn, idx, axis=0)
+                if two_phase:
+                    bp2 = bp2_fn(syn_f, init_llr)
+                    sub_dec = bp2.decoding
+                    sub_conv = bp2.converged | ~syn_f.any(axis=1)
+                    sub_llr, sub_iters = bp2.llr_posterior, bp2.iterations
+                    llrs = llrs.at[idx].set(sub_llr)
+                    dec = dec.at[idx].set(sub_dec)
+                    conv_eff = conv_eff.at[idx].set(sub_conv)
+                    iters = iters.at[idx].set(sub_iters)
+                else:
+                    sub_dec = jnp.take(dec, idx, axis=0)
+                    sub_conv = jnp.take(conv_eff, idx)
+                    sub_llr = jnp.take(llrs, idx, axis=0)
+                post_dec = post_fn(syn_f, sub_llr)
+                merged = jnp.where(
+                    sub_conv[:, None], sub_dec, post_dec.astype(sub_dec.dtype)
+                )
+                out = dec.at[idx].set(merged)
+            else:
+                out = dec
+            out = out * nonzero[:, None].astype(out.dtype)
+            buf = jnp.concatenate(
+                [
+                    pack_bits_u8(out).reshape(-1),
+                    pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
+                    jax.lax.bitcast_convert_type(nfail, jnp.uint8),
+                    jax.lax.bitcast_convert_type(iters, jnp.uint8).reshape(-1),
+                ]
+            )  # (Bpad*Wb + Bpad/8 + 4 + 4*Bpad,) uint8
+            return buf, llrs, dec
+
+        fn = jax.jit(program)
+        self._decoder_cache[key] = fn
+        return fn
+
+    def _decode_batch_fused(
+        self,
+        syndromes: np.ndarray,
+        nonzero: np.ndarray,
+        post_key,
+        post_builder,
+        bit_packed_output: bool = False,
+    ):
+        """Chunked single-pull decode over the fused cascade. Returns the
+        decodings ((B, n) or bit-packed) and stores the standard batch
+        attributes (converge_batch, iter_batch, lazy LLRs/BP decodings)."""
+        from ldpc_tpu.decoders.lazy import LazyChunks
+        from ldpc_tpu.ops import gf2
+
+        B0 = syndromes.shape[0]
+        Wb = -(-self.n // 8)
+        packed_all = np.packbits(syndromes, axis=1, bitorder="little")
+        CH = self._FUSED_CHUNK
+        starts = list(range(0, B0, CH)) or [0]
+        launches = []
+        for st in starts:
+            chunk = packed_all[st : st + CH]
+            Bc = chunk.shape[0]
+            Bpad = (
+                -(-Bc // 512) * 512 if Bc >= 512 else max(128, -(-Bc // 128) * 128)
+            )
+            K = min(Bpad, max(128, -(-(Bpad // 8) // 128) * 128))
+            if Bpad != Bc:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
+                )
+            dev = jnp.asarray(chunk)
+            buf, llrs, bpd = self._fused_cascade_fn(
+                Bpad, K, post_key, post_builder
+            )(dev)
+            buf.copy_to_host_async()
+            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd))
+
+        out_packed = np.empty((B0, Wb), np.uint8)
+        out = None if bit_packed_output else np.empty((B0, self.n), np.uint8)
+        conv = np.empty(B0, bool)
+        iters = np.empty(B0, np.int32)
+        llr_chunks, bpd_chunks = [], []
+        for st, Bc, Bpad, K, dev, buf, llrs, bpd in launches:
+            buf_np = np.asarray(buf)
+            o1 = Bpad * Wb
+            o2 = o1 + Bpad // 8
+            o3 = o2 + 4
+            nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
+            if nfail > K:  # bucket overflow: redo chunk with a full bucket
+                buf, llrs, bpd = self._fused_cascade_fn(
+                    Bpad, Bpad, post_key, post_builder
+                )(dev)
+                buf_np = np.asarray(buf)
+            pd_np = buf_np[:o1].reshape(Bpad, Wb)
+            out_packed[st : st + Bc] = pd_np[:Bc]
+            if out is not None:
+                out[st : st + Bc] = gf2.unpack_bits_u8(pd_np[:Bc], self.n)
+            conv[st : st + Bc] = np.unpackbits(
+                buf_np[o1:o2], count=Bc, bitorder="little"
+            ).astype(bool)
+            iters[st : st + Bc] = (
+                np.ascontiguousarray(buf_np[o3:]).view(np.int32)[:Bc]
+            )
+            llr_chunks.append(llrs)
+            bpd_chunks.append(bpd)
+
+        conv |= ~nonzero
+        out_packed[~nonzero] = 0
+        if out is not None:
+            out[~nonzero] = 0
+        self.converge_batch = conv
+        self.iter_batch = iters
+        self._converge = bool(conv[0])
+        self._iter = int(iters[0])
+        self.log_prob_ratios_batch = LazyChunks(llr_chunks, B0)
+        self._log_prob_ratios = llr_chunks[0][0]
+        return (out_packed if out is None else out), LazyChunks(
+            bpd_chunks, B0
+        )
+
     def _coerce_batch_syndromes(
         self, syndromes: np.ndarray, bit_packed: bool
     ) -> np.ndarray:

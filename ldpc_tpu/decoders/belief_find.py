@@ -121,10 +121,33 @@ class BeliefFindDecoder(BpDecoderBase):
                 f"Not {syndromes.shape}."
             )
         nonzero = syndromes.any(axis=1)
+        fn = self._uf_decode_fn()
+        if self._fused_ok():
+            # single-dispatch fused cascade: phase-1 BP, device top-K
+            # compaction, full-depth BP + union-find, ONE D2H pull
+            try:
+                out, _bpd = self._decode_batch_fused(
+                    syndromes,
+                    nonzero,
+                    post_key=("uf", self._uf_method, self.bits_per_step),
+                    post_builder=lambda: (lambda s, l: fn(s, l)[0]),
+                    bit_packed_output=bit_packed_output,
+                )
+                self._decoding = (
+                    out[0]
+                    if not bit_packed_output
+                    else np.unpackbits(
+                        out[:1], axis=1, count=self.n, bitorder="little"
+                    )[0]
+                )
+                return out
+            except ValueError as exc:
+                if "VMEM budget" not in str(exc):
+                    raise
+                self._fused_unavailable = True
         # device-compacted cascade: full-depth BP + union-find run only
         # on the non-converged bucket, one combined D2H pull
         # (base.py:_postprocess_cascade_batch)
-        fn = self._uf_decode_fn()
         info = self._postprocess_cascade_batch(
             syndromes, nonzero, lambda s, l: fn(s, l)[0]
         )

@@ -207,30 +207,75 @@ class BpLsdDecoder(BpDecoderBase):
             llr_row0 = llrs[0]
             self.log_prob_ratios_batch = llrs
             self._bp_decoding = np.asarray(bp.decoding)[0]
+            self._converge = bool(conv[0])
+            self._iter = int(self.iter_batch[0])
+            self._log_prob_ratios = llr_row0
+            self._decoding = out[0]
         else:
-            # device-compacted cascade: one combined D2H pull
-            # (base.py:_postprocess_cascade_batch)
-            fn = self._lsd_decode_fn()
-            info = self._postprocess_cascade_batch(
-                syndromes, nonzero, lambda s, l: fn(s, l)[0]
-            )
-            from ldpc_tpu.ops import gf2
+            fused = None
+            order0 = self._lsd_order == 0 or self._lsd_method == lsd_ops.LSD_0
+            if self._fused_ok() and order0:
+                # single-dispatch fused cascade (base.py): ONE D2H pull
+                try:
+                    fn = self._lsd_decode_fn()
+                    fused, bpd_lazy = self._decode_batch_fused(
+                        syndromes,
+                        nonzero,
+                        post_key=(
+                            "lsd",
+                            self._lsd_method,
+                            self._lsd_order,
+                            self.bits_per_step,
+                        ),
+                        post_builder=lambda: (lambda s, l: fn(s, l)[0]),
+                        bit_packed_output=bit_packed_output,
+                    )
+                    out = fused
+                    conv = self.converge_batch
+                    llr_row0 = self._log_prob_ratios  # device row; lazy
+                    self._bp_decoding_lazy = bpd_lazy
+                    self._bp_decoding = None
+                    if bit_packed_output:
+                        self._decoding = np.unpackbits(
+                            out[:1], axis=1, count=self.n, bitorder="little"
+                        )[0]
+                    else:
+                        self._decoding = out[0]
+                except ValueError as exc:
+                    if "VMEM budget" not in str(exc):
+                        raise
+                    self._fused_unavailable = True
+                    fused = None
+            if fused is None:
+                # device-compacted cascade: one combined D2H pull
+                # (base.py:_postprocess_cascade_batch)
+                fn = self._lsd_decode_fn()
+                info = self._postprocess_cascade_batch(
+                    syndromes, nonzero, lambda s, l: fn(s, l)[0]
+                )
+                from ldpc_tpu.ops import gf2
 
-            out = gf2.unpack_bits_u8(info["out_packed"], self.n)
-            conv = info["conv"]
-            failed = info["failed"]
-            self.converge_batch = conv
-            self.iter_batch = info["iters"]
-            llr_row0 = np.asarray(info["llr_row0"])
-            self.log_prob_ratios_batch = info["llr_batch"]  # device; lazy
-            self._bp_decoding = np.asarray(info["bp_dec_row0"])
+                out = gf2.unpack_bits_u8(info["out_packed"], self.n)
+                conv = info["conv"]
+                self.converge_batch = conv
+                self.iter_batch = info["iters"]
+                llr_row0 = np.asarray(info["llr_row0"])
+                self.log_prob_ratios_batch = info["llr_batch"]  # device; lazy
+                self._bp_decoding = np.asarray(info["bp_dec_row0"])
+                self._converge = bool(conv[0])
+                self._iter = int(self.iter_batch[0])
+                self._log_prob_ratios = llr_row0
+                self._decoding = out[0]
             llrs = None
 
-        self._converge = bool(conv[0])
-        self._iter = int(self.iter_batch[0])
-        self._log_prob_ratios = llr_row0
-        self._decoding = out[0]
-        lsd_ran_first = bool(failed.size) and failed[0] == 0
+        # the LSD result is live for row 0 iff full-depth BP did not
+        # converge there (conv is full-depth: the cascade scatters bucket
+        # convergence back) — phase-1 failures that later converge get
+        # their stats cleared, as the reference's converge branch does —
+        # or when always_run_lsd forces the LSD stage regardless
+        lsd_ran_first = bool(nonzero[0]) and (
+            self.always_run_lsd or not bool(conv[0])
+        )
         if not lsd_ran_first:
             # BP converged: stats reset, as the reference's converge
             # branch does (_bplsd_decoder.pyx:146-150)
@@ -243,6 +288,7 @@ class BpLsdDecoder(BpDecoderBase):
                 # primitives (lsd.hpp:652-816 semantics)
                 from ldpc_tpu.decoders.lsd_stats import compute_lsd_statistics
 
+                llr_row0 = np.asarray(llr_row0)
                 self._statistics.bit_llrs = list(map(float, llr_row0))
                 self._statistics.syndrome = list(map(int, syndromes[0]))
                 compute_lsd_statistics(
@@ -251,7 +297,7 @@ class BpLsdDecoder(BpDecoderBase):
                     syndromes[0],
                     llr_row0,
                     self.bits_per_step,
-                    out[0],
+                    self._decoding,
                     dtype=self._dtype,
                     stats=self._statistics,
                 )
@@ -261,10 +307,12 @@ class BpLsdDecoder(BpDecoderBase):
         # OSD_OFF=0 and OSD_0=1 (osd.hpp:18-23; the constructor's
         # 0/1/2 aliases map to 1/2/3 there)
         self._statistics.lsd_method = max(self._lsd_method, -1) + 1
-        if bit_packed_output:
+        if bit_packed_output and out.shape[1] != -(-self.n // 8):
             return np.packbits(out, axis=1, bitorder="little")
         return out
 
     @property
     def bp_decoding(self) -> np.ndarray:
+        if self._bp_decoding is None and hasattr(self, "_bp_decoding_lazy"):
+            self._bp_decoding = np.asarray(self._bp_decoding_lazy[0])
         return np.asarray(self._bp_decoding).astype(int)

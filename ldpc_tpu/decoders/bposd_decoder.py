@@ -27,35 +27,7 @@ _METHOD_NAMES = {
 }
 
 
-class _LazyChunks:
-    """np-convertible view over device-resident result chunks (pulled only
-    on first host access — D2H over a tunneled link is the slow path)."""
-
-    def __init__(self, chunks, total):
-        self._chunks = chunks
-        self._total = total
-        self._np = None
-
-    def _materialize(self):
-        if self._np is None:
-            self._np = np.concatenate(
-                [np.asarray(c) for c in self._chunks], axis=0
-            )[: self._total]
-        return self._np
-
-    def __array__(self, dtype=None, copy=None):
-        arr = self._materialize()
-        return arr.astype(dtype) if dtype is not None else arr
-
-    def __getitem__(self, item):
-        return self._materialize()[item]
-
-    def __len__(self):
-        return self._total
-
-    @property
-    def shape(self):
-        return (self._total,) + tuple(self._chunks[0].shape[1:])
+from ldpc_tpu.decoders.lazy import LazyChunks as _LazyChunks
 
 
 class BpOsdDecoder(BpDecoderBase):

@@ -59,6 +59,48 @@ class UnionFindDecoder:
             self._cache[key] = fn
         return fn
 
+    def _packed_fn(self, bits_per_step: int, guided: bool):
+        """One-dispatch program: bit-packed syndromes in, ONE packed
+        uint8 buffer (decodings + validity bits) out — distinct
+        host<->device transfers dominate on tunneled links, and the
+        unguided path synthesizes its zero LLRs on device instead of
+        uploading a (B, n) float block."""
+        key = ("packed", self.uf_method, bits_per_step, guided)
+        fn = self._cache.get(key)
+        if fn is None:
+            import jax
+
+            from ldpc_tpu.ops import gf2
+
+            inner = self._fn(bits_per_step, guided)
+            m, n = self.m, self.n
+
+            def program(syn_packed, llrs):
+                syn = gf2.unpack_bits_u8_device(syn_packed, m)
+                if llrs is None:
+                    llrs = jnp.zeros((syn.shape[0], n), jnp.float32)
+                dec, valid = inner(syn, llrs)
+                nonzero = syn.any(axis=1)
+                dec = dec * nonzero[:, None].astype(dec.dtype)
+                valid = valid | ~nonzero
+                buf = jnp.concatenate(
+                    [
+                        gf2.pack_bits_u8(dec).reshape(-1),
+                        gf2.pack_bits_u8(
+                            valid[None, :].astype(jnp.uint8)
+                        )[0],
+                    ]
+                )
+                return buf
+
+            if guided:
+                fn = jax.jit(program)
+            else:
+                prog = jax.jit(lambda sp: program(sp, None))
+                fn = lambda sp, llrs: prog(sp)
+            self._cache[key] = fn
+        return fn
+
     def decode(
         self,
         syndrome: np.ndarray,
@@ -88,18 +130,45 @@ class UnionFindDecoder:
         bits_per_step: int = 0,
     ) -> np.ndarray:
         syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
-        B = syndromes.shape[0]
+        B0 = syndromes.shape[0]
         guided = llrs is not None
-        if llrs is None:
-            llrs = np.zeros((B, self.n), dtype=np.float32)
-        else:
+        if guided:
             llrs = np.atleast_2d(np.asarray(llrs, dtype=np.float32))
-        fn = self._fn(bits_per_step, guided)
-        dec, valid = fn(jnp.asarray(syndromes), jnp.asarray(llrs))
-        dec = np.array(dec)
-        nonzero = syndromes.any(axis=1)
-        dec[~nonzero] = 0
-        self.valid_batch = np.asarray(valid) | ~nonzero
+        # pad the batch to coarse buckets so the jitted program compiles
+        # O(log B) times, and ship/pull everything bit-packed in ONE
+        # buffer each way (tunneled links pay ~25 ms per distinct pull)
+        Bpad = (
+            -(-B0 // 512) * 512 if B0 >= 512 else max(128, -(-B0 // 128) * 128)
+        )
+        syn_packed = np.packbits(syndromes, axis=1, bitorder="little")
+        if Bpad != B0:
+            syn_packed = np.concatenate(
+                [
+                    syn_packed,
+                    np.zeros((Bpad - B0, syn_packed.shape[1]), np.uint8),
+                ]
+            )
+            if guided:
+                llrs = np.concatenate(
+                    [llrs, np.zeros((Bpad - B0, self.n), np.float32)]
+                )
+        fn = self._packed_fn(bits_per_step, guided)
+        buf = np.asarray(
+            fn(
+                jnp.asarray(syn_packed),
+                jnp.asarray(llrs) if guided else None,
+            )
+        )
+        Wb = -(-self.n // 8)
+        dec = np.unpackbits(
+            buf[: Bpad * Wb].reshape(Bpad, Wb)[:B0],
+            axis=1,
+            count=self.n,
+            bitorder="little",
+        )
+        self.valid_batch = np.unpackbits(
+            buf[Bpad * Wb :], count=B0, bitorder="little"
+        ).astype(bool)
         self._decoding = dec[0]
         return dec
 

@@ -83,6 +83,8 @@ def make_lsd_decoder(
     (decoding: (B, n) uint8, valid: (B,) bool)``.
     """
     m, n = graph.m, graph.n
+    if bits_per_step >= n:
+        bits_per_step = 0  # grow-all fast path (see uf.make_uf_decoder)
     H_pad = jnp.concatenate(
         [jnp.asarray(graph.dense), jnp.zeros((m, 1), jnp.uint8)], axis=1
     )  # (m, n+1), col n = zero pad

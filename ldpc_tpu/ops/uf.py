@@ -515,6 +515,12 @@ def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
     Returns ``decode(syndromes: (B, m) uint8, llrs: (B, n)) ->
     (decoding: (B, n) uint8, valid: (B,) bool)``.
     """
+    if bits_per_step >= graph.n:
+        # a per-cluster rank bound of >= n admits every boundary bit, so
+        # this is exactly the grow-all fast path (the reference's
+        # bits_per_step=0 -> n default maps here) — without it the
+        # rank-selection machinery unrolls ``bits_per_step`` sweeps
+        bits_per_step = 0
 
     solver = make_masked_solver_or_none(graph, dtype)
 
@@ -545,153 +551,273 @@ def make_peel_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32
 
     Requires every column degree <= 2 (validated by the caller). Bits are
     edges between their two checks; degree-1 ("planar boundary") bits
-    connect to a virtual boundary check ``m`` (union_find.hpp:205-251).
+    connect to a virtual boundary check (union_find.hpp:205-251).
+
+    TPU design: three MXU-native stages, no device scatters or dynamic
+    gathers (both lower to scalar loops on TPU and were ~50x the cost of
+    the whole decode):
+
+    1. **Growth** is shared with the inversion decoder
+       (:func:`grow_until_valid_fast`): for column degree <= 2 a
+       cluster's syndrome is in the image of its columns exactly when
+       its parity is even or it contains a degree-1 (boundary) column —
+       the reference's peel validity rule (union_find.hpp:460-463) — so
+       the per-round invalid flags, and hence the growth sequence, are
+       identical.
+    2. **Spanning forest**: per-cluster BFS trees from each cluster's
+       label root (+ at most one boundary edge per cluster to the
+       virtual check). The reference's first-come sequential forest
+       (union_find.hpp:205-236) spans the same components; the peeling
+       solution on any spanning forest of a validity-passing cluster is
+       exact, so forest choice only affects which of several equally
+       valid corrections is returned.
+    3. **Peeling** resolves every current leaf check per round; the tree
+       solution is unique so parallel order is exact.
 
     Returns ``decode(syndromes: (B, m) uint8, llrs: (B, n)) ->
     (decoding: (B, n) uint8, valid: (B,) bool)``.
     """
+    if bits_per_step >= graph.n:
+        bits_per_step = 0  # grow-all (see make_uf_decoder)
     m, n = graph.m, graph.n
     var_chks = np.asarray(graph.var_chks)
     var_mask = np.asarray(graph.var_mask)
     if graph.dv > 2:
         raise ValueError("peeling requires column degree <= 2")
-    # edge endpoints: u = first check, v = second check or virtual m
-    u_ep = jnp.asarray(var_chks[:, 0].astype(np.int32))  # (n,)
+    dc = graph.dc
+    adj = _adj_constants(graph)
+    Gv, Gc, maskv, maskc, A = adj
+    INF = _INF_F
+
+    # edge endpoints: u = first check, v = second check or virtual
+    u_np = var_chks[:, 0].astype(np.int32)
     if graph.dv == 2:
         v_np = np.where(var_mask[:, 1], var_chks[:, 1], m).astype(np.int32)
     else:
         v_np = np.full(n, m, dtype=np.int32)
-    v_ep = jnp.asarray(v_np)
-    is_boundary_bit = jnp.asarray(v_np == m)  # degree-1 columns
+    bnd_np = v_np == m  # degree-1 columns
+    is_boundary = jnp.asarray(bnd_np)
+    has_v = jnp.asarray(~bnd_np)
+    A_T = jnp.asarray(np.asarray(graph.dense, np.float32).T)  # (n, m)
 
-    def cluster_validity(labels, syndromes, in_bit):
-        """parity odd & no boundary bit -> invalid (union_find.hpp:460-463)."""
-        B = labels.shape[0]
-        bidx = jnp.arange(B)[:, None]
-        lab_clip = jnp.minimum(labels, m)
-        parity = (
-            jnp.zeros((B, m + 1), jnp.int32)
-            .at[bidx, lab_clip]
-            .add(syndromes.astype(jnp.int32))
+    # per-(check, slot) constants: the slot's bit index, whether this
+    # check is that bit's u endpoint, and whether the bit is a boundary
+    chk_bits_np = np.asarray(graph.chk_bits)
+    chk_mask_np = np.asarray(graph.chk_mask)
+    slot_bit = np.where(chk_mask_np, chk_bits_np, n).astype(np.float32)
+    slot_is_u = np.zeros((m, dc), bool)
+    slot_bnd = np.zeros((m, dc), bool)
+    for i in range(m):
+        for k in range(dc):
+            if chk_mask_np[i, k]:
+                e = chk_bits_np[i, k]
+                slot_is_u[i, k] = u_np[e] == i
+                slot_bnd[i, k] = bnd_np[e]
+    slot_bit_d = jnp.asarray(slot_bit)  # (m, dc), pad = n
+    slot_is_u_d = jnp.asarray(slot_is_u)
+    slot_bnd_d = jnp.asarray(slot_bnd)
+    iota_n = jnp.arange(n, dtype=jnp.float32)[None, :]
+    iota_m = jnp.arange(m, dtype=jnp.float32)[None, :]
+
+    def mm(x, G):
+        return jnp.dot(
+            x,
+            G,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        # bit label = min over its (active-cluster) endpoints
-        lab_pad = jnp.concatenate([labels, jnp.full((B, 1), _INF)], axis=1)
-        bit_lab = jnp.minimum(lab_pad[:, :][bidx, u_ep[None, :]], _INF)
-        bit_lab = jnp.where(in_bit, bit_lab, _INF)
-        has_bnd = (
-            jnp.zeros((B, m + 1), jnp.int32)
-            .at[bidx, jnp.minimum(bit_lab, m)]
-            .max((in_bit & is_boundary_bit[None, :]).astype(jnp.int32))
+
+    def gather_chk_to_bit(x_chk, k, fill):
+        """Value of each bit's k-th check (fill where no such check)."""
+        g = mm(x_chk, Gv[k])
+        return jnp.where(maskv[k][None, :] > 0, g, fill)
+
+    def gather_bit_to_chk(x_bit, k, fill):
+        """Value of each check's k-th slot bit (fill at padded slots)."""
+        g = mm(x_bit, Gc[k])
+        return jnp.where(maskc[k][None, :] > 0, g, fill)
+
+    def build_forest(in_bit, labels):
+        """Per-cluster BFS forest (tree edges as a (B, n) bool mask)."""
+        B = in_bit.shape[0]
+        in_f = in_bit.astype(jnp.float32)
+        interior = in_bit & has_v[None, :]  # 2 real endpoints
+        root = labels == iota_m  # cluster label roots
+        dist0 = jnp.where(root, 0.0, INF)
+
+        # BFS distance over interior edges: dist[c] = min over incident
+        # interior edges of dist[other endpoint] + 1
+        def dist_sweep(dist):
+            d0 = jnp.where(interior, gather_chk_to_bit(dist, 0, INF), INF)
+            d1 = (
+                jnp.where(interior, gather_chk_to_bit(dist, 1, INF), INF)
+                if graph.dv == 2
+                else jnp.full_like(d0, INF)
+            )
+            new = dist
+            for k in range(dc):
+                du = gather_bit_to_chk(d0, k, INF)
+                dv_ = gather_bit_to_chk(d1, k, INF)
+                otherd = jnp.where(slot_is_u_d[:, k][None, :], dv_, du)
+                new = jnp.minimum(new, otherd + 1.0)
+            return new
+
+        def dist_cond(s):
+            return s[1]
+
+        def dist_body(s):
+            d, _ = s
+            nd = dist_sweep(d)
+            return nd, jnp.any(nd != d)
+
+        dist, _ = jax.lax.while_loop(
+            dist_cond, dist_body, (dist0, jnp.array(True))
         )
-        invalid_label = (parity % 2 == 1) & (has_bnd == 0)
-        chk_invalid = invalid_label[bidx, lab_clip] & (labels < _INF)
-        return chk_invalid
 
-    def spanning_forest(in_bit):
-        """Sequential union-find in bit order over m+1 nodes — the same
-        first-come spanning forest the reference builds
-        (union_find.hpp:205-236)."""
+        # parent edge per non-root check: min-index interior edge whose
+        # other endpoint is one BFS level closer to the root
+        d0 = jnp.where(interior, gather_chk_to_bit(dist, 0, INF), INF)
+        d1 = (
+            jnp.where(interior, gather_chk_to_bit(dist, 1, INF), INF)
+            if graph.dv == 2
+            else jnp.full_like(d0, INF)
+        )
+        in_bit_f = interior.astype(jnp.float32)
+        parent_bit = jnp.full((B, m), float(n), jnp.float32)
+        for k in range(dc):
+            du = gather_bit_to_chk(d0, k, INF)
+            dv_ = gather_bit_to_chk(d1, k, INF)
+            present = gather_bit_to_chk(in_bit_f, k, 0.0) > 0.5
+            otherd = jnp.where(slot_is_u_d[:, k][None, :], dv_, du)
+            ok = present & (otherd == dist - 1.0) & (dist < INF) & ~root
+            cand = jnp.where(ok, slot_bit_d[:, k][None, :], float(n))
+            parent_bit = jnp.minimum(parent_bit, cand)
+        # a bit is a tree edge iff it is some endpoint's parent edge
+        pb_u = gather_chk_to_bit(parent_bit, 0, float(n))
+        tree = pb_u == iota_n
+        if graph.dv == 2:
+            pb_v = gather_chk_to_bit(parent_bit, 1, float(n))
+            tree = tree | (pb_v == iota_n)
+        tree = tree & interior
 
-        def one(in_bit_1):
-            def find(parent, x):
-                def body(y):
-                    return parent[y]
+        # one boundary edge per cluster (lowest bit index): min-floodfill
+        # the per-check boundary-edge key through each cluster
+        bkey0 = jnp.full((B, m), INF, jnp.float32)
+        for k in range(dc):
+            present = gather_bit_to_chk(in_f, k, 0.0) > 0.5
+            ok = present & slot_bnd_d[:, k][None, :]
+            bkey0 = jnp.minimum(
+                bkey0, jnp.where(ok, slot_bit_d[:, k][None, :], INF)
+            )
 
-                return jax.lax.while_loop(
-                    lambda y: parent[y] != y, body, x
+        def bkey_sweep(bkey):
+            bl = jnp.where(in_bit, gather_chk_to_bit(bkey, 0, INF), INF)
+            if graph.dv == 2:
+                bl = jnp.minimum(
+                    bl, jnp.where(in_bit, gather_chk_to_bit(bkey, 1, INF), INF)
                 )
+            new = bkey
+            for k in range(dc):
+                new = jnp.minimum(new, gather_bit_to_chk(bl, k, INF))
+            return new
 
-            def step(j, carry):
-                parent, tree = carry
-                ru = find(parent, u_ep[j])
-                rv = find(parent, v_ep[j])
-                keep = in_bit_1[j] & (ru != rv)
-                parent = parent.at[rv].set(jnp.where(keep, ru, parent[rv]))
-                tree = tree.at[j].set(keep)
-                return parent, tree
+        def bkey_body(s):
+            b, _ = s
+            nb = bkey_sweep(b)
+            return nb, jnp.any(nb != b)
 
-            parent0 = jnp.arange(m + 1, dtype=jnp.int32)
-            tree0 = jnp.zeros(n, bool)
-            _, tree = jax.lax.fori_loop(0, n, step, (parent0, tree0))
-            return tree
-
-        return jax.vmap(one)(in_bit)
+        bkey, _ = jax.lax.while_loop(
+            lambda s: s[1], bkey_body, (bkey0, jnp.array(True))
+        )
+        # boundary bit joins the tree iff it IS its cluster's chosen key
+        bk_u = gather_chk_to_bit(bkey, 0, INF)
+        tree = tree | (
+            in_bit & is_boundary[None, :] & (bk_u == iota_n)
+        )
+        return tree
 
     def peel(tree, syndromes):
         """Parallel leaf peeling: resolve every current leaf check per
-        round; the tree solution is unique so order doesn't matter."""
+        round (union_find.hpp:253-312); the tree solution is unique so
+        order does not matter. All graph traffic rides one-hot MXU
+        contractions."""
         B = tree.shape[0]
-        bidx = jnp.arange(B)[:, None]
-        synd0 = jnp.concatenate(
-            [syndromes.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
-        )
+        synd0 = syndromes.astype(jnp.float32)  # (B, m) real checks
 
-        def round_body(state):
+        # deg[c] = number of remaining tree edges at check c
+        def one_round(state):
             rem, synd, dec, _ = state
-            deg = (
-                jnp.zeros((B, m + 1), jnp.int32)
-                .at[bidx, u_ep[None, :]]
-                .add(rem.astype(jnp.int32))
-                .at[bidx, v_ep[None, :]]
-                .add(rem.astype(jnp.int32))
+            rem_f = rem.astype(jnp.float32)
+            deg = mm(rem_f, A_T)  # (B, m): A_T is (n, m)
+            leaf = deg == 1.0
+            leaf_f = leaf.astype(jnp.float32)
+            lu = gather_chk_to_bit(leaf_f, 0, 0.0) > 0.5
+            lv = (
+                gather_chk_to_bit(leaf_f, 1, 0.0) > 0.5
+                if graph.dv == 2
+                else jnp.zeros_like(lu)
             )
-            # only REAL checks resolve; the virtual boundary check absorbs
-            # syndrome but never pushes it back out (its accumulated value
-            # is meaningless across clusters)
-            leaf = (deg == 1) & (jnp.arange(m + 1) < m)[None, :]
-            u_leaf = leaf[bidx, u_ep[None, :]] & rem
-            v_leaf = leaf[bidx, v_ep[None, :]] & rem
-            # resolve from u when u is a leaf (and from v only if u isn't)
-            from_u = u_leaf
-            from_v = v_leaf & ~u_leaf
-            resolver = jnp.where(from_u, u_ep[None, :], v_ep[None, :])
-            other = jnp.where(from_u, v_ep[None, :], u_ep[None, :])
+            from_u = lu & rem
+            from_v = lv & ~lu & rem & has_v[None, :]
             act = from_u | from_v
-            x = jnp.where(act, synd[bidx, resolver], 0)  # (B, n)
-            dec = jnp.where(act, x, dec)
-            # push the leaf's syndrome across the edge, clear the leaf
-            synd = synd.at[bidx, jnp.where(act, other, m)].add(x)
-            synd = synd % 2
-            cleared = (
-                jnp.zeros((B, m + 1), bool)
-                .at[bidx, jnp.where(act, resolver, m)]
-                .max(act)
+            s_u = gather_chk_to_bit(synd, 0, 0.0)
+            s_v = (
+                gather_chk_to_bit(synd, 1, 0.0)
+                if graph.dv == 2
+                else jnp.zeros_like(s_u)
             )
-            synd = jnp.where(cleared, 0, synd)
+            x = jnp.where(from_u, s_u, s_v) * act.astype(jnp.float32)
+            dec = jnp.where(act, x, dec)
+            # push x across the edge into the other endpoint; clear the
+            # resolver; virtual endpoints absorb silently (they are not
+            # in the (B, m) node arrays at all)
+            push_to_v = x * from_u.astype(jnp.float32)  # arrives at v
+            push_to_u = x * from_v.astype(jnp.float32)  # arrives at u
+            res_u = from_u.astype(jnp.float32)  # resolver is u
+            res_v = from_v.astype(jnp.float32)  # resolver is v
+            delta = jnp.zeros_like(synd)
+            clr = jnp.zeros_like(synd)
+            for k in range(dc):
+                isu = slot_is_u_d[:, k][None, :]
+                pv = gather_bit_to_chk(push_to_v, k, 0.0)
+                pu = gather_bit_to_chk(push_to_u, k, 0.0)
+                delta = delta + jnp.where(isu, pu, pv)
+                ru = gather_bit_to_chk(res_u, k, 0.0)
+                rv = gather_bit_to_chk(res_v, k, 0.0)
+                clr = clr + jnp.where(isu, ru, rv)
+            synd = synd + delta
+            synd = synd - 2.0 * jnp.floor(synd * 0.5)  # mod 2
+            synd = jnp.where(clr > 0.5, 0.0, synd)
             rem = rem & ~act
             return rem, synd, dec, act.any()
 
-        state0 = (tree, synd0, jnp.zeros((B, n), jnp.int32), jnp.array(True))
-        rem, synd, dec, _ = jax.lax.while_loop(
-            lambda s: s[3], round_body, state0
+        state0 = (
+            tree,
+            synd0,
+            jnp.zeros((B, n), jnp.float32),
+            jnp.array(True),
         )
-        # valid iff no real-check syndrome left unabsorbed
-        leftover = (synd[:, :m] == 1).any(axis=1)
+        rem, synd, dec, _ = jax.lax.while_loop(
+            lambda s: s[3], one_round, state0
+        )
+        leftover = (synd > 0.5).any(axis=1)
         return dec.astype(jnp.uint8), ~leftover
 
+    solver = make_masked_solver_or_none(graph, dtype)
+
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
-        B = syndromes.shape[0]
         syndromes = syndromes.astype(jnp.uint8)
         seed_checks = syndromes == 1
-
-        def round_body(state_i):
-            (in_bit, _), i = state_i
-            labels, _ = _propagate_labels(graph, in_bit, seed_checks)
-            chk_invalid = cluster_validity(labels, syndromes, in_bit)
-            any_invalid = chk_invalid.any(axis=1)
-            new_in = _grow(
-                graph, in_bit, labels, chk_invalid, llrs, bits_per_step, dtype
+        if solver is not None:
+            in_bit, _, _ = grow_until_valid_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, solver
             )
-            new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
-            return (new_in, any_invalid), i + 1
-
-        def cond(state_i):
-            (_, any_invalid), i = state_i
-            return jnp.any(any_invalid) & (i <= n)
-
-        state0 = ((jnp.zeros((B, n), bool), jnp.ones(B, bool)), jnp.int32(0))
-        (in_bit, _), _ = jax.lax.while_loop(cond, round_body, state0)
-        tree = spanning_forest(in_bit)
+        else:
+            in_bit, _, _ = grow_until_valid(
+                graph, syndromes, llrs, bits_per_step, dtype
+            )
+        labels, _ = _propagate_labels_mm(graph, adj, in_bit, seed_checks)
+        tree = build_forest(in_bit, labels)
         return peel(tree, syndromes)
 
     return jax.jit(decode)
