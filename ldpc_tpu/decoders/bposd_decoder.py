@@ -145,6 +145,25 @@ class BpOsdDecoder(BpDecoderBase):
         key = ("osd", self._osd_method, self._osd_order, tuple(self._channel))
         fn = self._decoder_cache.get(key)
         if fn is None:
+            if (
+                jax.default_backend() == "tpu"
+                and self._dtype == jnp.float32
+                and self._osd_method
+                in (osd_ops.EXHAUSTIVE, osd_ops.COMBINATION_SWEEP)
+                and self._osd_order > 0
+            ):
+                try:
+                    fn = osd_ops.make_osd_sweep_tpu(
+                        self.graph,
+                        self._channel,
+                        self._osd_method,
+                        self._osd_order,
+                    )
+                    self._decoder_cache[key] = fn
+                    return fn
+                except ValueError as exc:
+                    if "VMEM budget" not in str(exc):
+                        raise
             fn = osd_ops.make_osd_decoder(
                 self.graph,
                 self._channel,
@@ -289,11 +308,22 @@ class BpOsdDecoder(BpDecoderBase):
             if two_phase
             else None
         )
-        osd_fn = (
-            gf2_pallas.make_osd0_solver(graph, interpret=interp)
-            if self._osd_method != osd_ops.OSD_OFF and K > 0
-            else None
-        )
+        osd_fn = osdw_fn = None
+        if K > 0 and self._osd_method != osd_ops.OSD_OFF:
+            if (
+                self._osd_method
+                in (osd_ops.EXHAUSTIVE, osd_ops.COMBINATION_SWEEP)
+                and self._osd_order > 0
+            ):
+                osdw_fn = osd_ops.make_osd_sweep_tpu(
+                    graph,
+                    self._channel,
+                    self._osd_method,
+                    self._osd_order,
+                    interpret=interp,
+                )
+            else:
+                osd_fn = gf2_pallas.make_osd0_solver(graph, interpret=interp)
         init_llr = jnp.asarray(self._init_llr())
 
         def program(packed_syn):
@@ -303,7 +333,7 @@ class BpOsdDecoder(BpDecoderBase):
             conv_eff = bp.converged | ~nonzero
             dec, llrs, iters = bp.decoding, bp.llr_posterior, bp.iterations
             nfail = (~conv_eff).sum().astype(jnp.int32)
-            if two_phase or osd_fn is not None:
+            if two_phase or osd_fn is not None or osdw_fn is not None:
                 order = jnp.argsort(conv_eff, stable=True)  # failed first
                 idx = order[:K]
                 syn_f = jnp.take(syn, idx, axis=0)
@@ -320,16 +350,30 @@ class BpOsdDecoder(BpDecoderBase):
                     sub_dec = jnp.take(dec, idx, axis=0)
                     sub_conv = jnp.take(conv_eff, idx)
                     sub_llr = jnp.take(llrs, idx, axis=0)
-                if osd_fn is not None:
+                if osdw_fn is not None:
+                    d0, dw, _ = osdw_fn(syn_f, sub_llr)
+                    merged = jnp.where(sub_conv[:, None], sub_dec, dw)
+                    merged0 = jnp.where(sub_conv[:, None], sub_dec, d0)
+                elif osd_fn is not None:
                     x0, _ = osd_fn(syn_f, sub_llr)
-                    merged = jnp.where(sub_conv[:, None], sub_dec, x0)
+                    merged = merged0 = jnp.where(
+                        sub_conv[:, None], sub_dec, x0
+                    )
                 else:
-                    merged = sub_dec
+                    merged = merged0 = sub_dec
                 out = dec.at[idx].set(merged)
+                out0 = (
+                    dec.at[idx].set(merged0) if osdw_fn is not None else out
+                )
             else:
-                out = dec
+                out = out0 = dec
             out = out * nonzero[:, None].astype(out.dtype)
             packed_dec = pack_bits_u8(out)  # (Bpad, ceil(n/8))
+            packed_d0 = (
+                pack_bits_u8(out0 * nonzero[:, None].astype(out0.dtype))
+                if osdw_fn is not None
+                else packed_dec
+            )
             iters_u16 = jnp.minimum(iters, 0xFFFF).astype(jnp.uint16)
             buf = jnp.concatenate(
                 [
@@ -341,7 +385,7 @@ class BpOsdDecoder(BpDecoderBase):
                     ).reshape(-1),
                 ]
             )  # (Bpad*Wb + Bpad/8 + 4 + 2*Bpad,) uint8
-            return buf, llrs, dec
+            return buf, llrs, dec, packed_d0
 
         fn = jax.jit(program)
         self._decoder_cache[key] = fn
@@ -386,23 +430,23 @@ class BpOsdDecoder(BpDecoderBase):
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
                 )
             dev = jnp.asarray(chunk)
-            buf, llrs, bpd = self._tpu_fused_fn(Bpad, K)(dev)
+            buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K)(dev)
             buf.copy_to_host_async()
-            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd))
+            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd, d0p))
 
         out_packed = np.empty((B0, Wb), np.uint8)
         out = None if bit_packed_output else np.empty((B0, self.n), np.uint8)
         conv = np.empty(B0, bool)
         iters = np.empty(B0, np.int32)
-        llr_chunks, bpd_chunks = [], []
-        for st, Bc, Bpad, K, dev, buf, llrs, bpd in launches:
+        llr_chunks, bpd_chunks, d0_chunks = [], [], []
+        for st, Bc, Bpad, K, dev, buf, llrs, bpd, d0p in launches:
             buf_np = np.asarray(buf)
             o1 = Bpad * Wb
             o2 = o1 + Bpad // 8
             o3 = o2 + 4
             nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
             if nfail > K:  # bucket overflow: redo chunk with a full bucket
-                buf, llrs, bpd = self._tpu_fused_fn(Bpad, Bpad)(dev)
+                buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, Bpad)(dev)
                 buf_np = np.asarray(buf)
             pd_np = buf_np[:o1].reshape(Bpad, Wb)
             conv_bits = np.unpackbits(
@@ -422,6 +466,7 @@ class BpOsdDecoder(BpDecoderBase):
             iters[st : st + Bc] = it_np
             llr_chunks.append(llrs)
             bpd_chunks.append(bpd)
+            d0_chunks.append(d0p)
 
         conv |= ~nonzero
         out_packed[~nonzero] = 0
@@ -441,9 +486,14 @@ class BpOsdDecoder(BpDecoderBase):
         self._bp_decoding = None
         self._log_prob_ratios = llr_chunks[0][0]
         self._nonzero_mask = nonzero
-        # OSD-0 == OSD-w at order 0; unpacked lazily when output is packed
-        self._osd0_batch = out
-        self._osd0_packed_dev = out_packed if out is None else None
+        if self._osd_method in (osd_ops.OSD_0, osd_ops.OSD_OFF):
+            # OSD-0 == OSD-w at order 0; unpacked lazily when packed out
+            self._osd0_batch = out
+            self._osd0_packed_dev = out_packed if out is None else None
+        else:
+            # separate device-resident OSD-0 decodings; pulled lazily
+            self._osd0_batch = None
+            self._osd0_packed_dev = _LazyChunks(d0_chunks, B0)
         row0 = (
             out[0]
             if out is not None
@@ -507,7 +557,6 @@ class BpOsdDecoder(BpDecoderBase):
             jax.default_backend() == "tpu"
             and self._schedule == bp_ops.PARALLEL
             and self._dtype == jnp.float32
-            and self._osd_method in (osd_ops.OSD_0, osd_ops.OSD_OFF)
             and not getattr(self, "_fused_unavailable", False)
         )
         if use_tpu_fused:

@@ -404,6 +404,98 @@ def make_masked_solver_or_none(graph: PcmGraph, dtype):
         return None
 
 
+def _grow_round_mm(graph, adj, in_bit, bad_row, llr_rank, bits_per_step):
+    """One label-free growth round: every invalid cluster admits its
+    ``bits_per_step`` lowest-LLR-rank boundary bits.
+
+    Cluster labels are unnecessary here: floodfills confined to
+    in-cluster connectivity cannot leak between clusters (distinct
+    clusters are disconnected by definition), so ONE jointly-stacked
+    min-floodfill of [badness ; candidate key] computes both the
+    per-cluster invalid flag (badness 0 reachable from an unreduced
+    syndrome-1 row — exactly :func:`_invalid_floodfill_mm`) and the
+    per-cluster minimum boundary key. A candidate bit joins iff some
+    adjacent check carries badness 0 AND the cluster-min key equals the
+    bit's own (globally unique) LLR rank — the identical join set to
+    :func:`_grow_mm`'s label-scoped selection, at a third of the sweeps.
+
+    Returns ``(new_in, any_invalid: (B,) bool)``.
+    """
+    Gv, Gc, maskv, maskc, A = adj
+    B = in_bit.shape[0]
+    dv, dc = Gv.shape[0], Gc.shape[0]
+
+    def mmdot(x, G):
+        return jnp.dot(
+            x, G,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def flood(x0, inb):
+        """Min-floodfill (C*B, m) channels through in-cluster bits."""
+
+        def step(state):
+            x, _ = state
+            bl = None
+            for k in range(dv):
+                g = mmdot(x, Gv[k])
+                g = jnp.where(maskv[k][None, :] > 0, g, _INF_F)
+                bl = g if bl is None else jnp.minimum(bl, g)
+            bl = jnp.where(inb, bl, _INF_F)
+            back = None
+            for k in range(dc):
+                g = mmdot(bl, Gc[k])
+                g = jnp.where(maskc[k][None, :] > 0, g, _INF_F)
+                back = g if back is None else jnp.minimum(back, g)
+            new = jnp.minimum(x, back)
+            return new, jnp.any(new != x)
+
+        x, _ = jax.lax.while_loop(
+            lambda s: s[1], step, (x0, jnp.array(True))
+        )
+        return x
+
+    badmin0 = jnp.where(bad_row, 0.0, _INF_F)  # (B, m)
+    if bits_per_step == 0:
+        badmin = flood(badmin0, in_bit)
+        invalid = badmin == 0.0
+        any_invalid = invalid.any(axis=1)
+        # grow-all: every bit adjacent to an invalid check joins
+        nbr_inv = mmdot(invalid.astype(jnp.float32), A) > 0.5
+        return in_bit | nbr_inv, any_invalid
+
+    in2 = jnp.concatenate([in_bit, in_bit], axis=0)  # stacked channels
+    grown = in_bit
+    taken = jnp.zeros((B, in_bit.shape[1]), bool)
+    any_invalid = None
+    for _ in range(bits_per_step):
+        cand = ~grown & ~taken
+        key_bits = jnp.where(cand, llr_rank, _INF_F)  # (B, n)
+        keymin0 = None
+        for k in range(dc):
+            g = mmdot(key_bits, Gc[k])
+            g = jnp.where(maskc[k][None, :] > 0, g, _INF_F)
+            keymin0 = g if keymin0 is None else jnp.minimum(keymin0, g)
+        both = flood(jnp.concatenate([badmin0, keymin0], axis=0), in2)
+        badmin, keymin = both[:B], both[B:]
+        invalid = badmin == 0.0
+        if any_invalid is None:
+            any_invalid = invalid.any(axis=1)
+        # min-key selection: the bit whose rank IS an adjacent invalid
+        # cluster's minimum joins it
+        win = None
+        for k in range(dv):
+            gb = mmdot(jnp.where(invalid, 0.0, 1.0), Gv[k])
+            gk = mmdot(jnp.where(invalid, keymin, _INF_F), Gv[k])
+            ok = (maskv[k][None, :] > 0) & (gb < 0.5) & (gk == llr_rank)
+            win = ok if win is None else (win | ok)
+        win = win & cand
+        grown = grown | win
+        taken = taken | win
+    return grown, any_invalid
+
+
 def grow_until_valid_fast(
     graph: PcmGraph, syndromes, llrs, bits_per_step, dtype, solver
 ):
@@ -412,14 +504,15 @@ def grow_until_valid_fast(
     Identical pivot choices (in-cluster columns, ascending LLR, first
     unused 1-row), so solutions match the XLA engine bit-for-bit; the
     per-round elimination only walks each lane's own cluster columns
-    instead of re-streaming the whole masked PCM from HBM.
+    instead of re-streaming the whole masked PCM from HBM, and the
+    growth/validity decisions ride :func:`_grow_round_mm`'s single
+    stacked floodfill.
 
     Returns ``(in_bit, x0: (B, n) uint8 in ORIGINAL coordinates,
     valid: (B,) bool)``.
     """
     m, n = graph.m, graph.n
     B = syndromes.shape[0]
-    seed_checks = syndromes == 1
     syn_u8 = syndromes.astype(jnp.uint8)
     inf = jnp.array(np.inf, dtype)
     adj = _adj_constants(graph)
@@ -436,30 +529,24 @@ def grow_until_valid_fast(
         return solver(syn_u8, order, count)
 
     def round_body(state_i):
-        (in_bit, _, _, _, warm), i = state_i
-        labels, _ = _propagate_labels_mm(
-            graph, adj, in_bit, seed_checks, warm=warm
-        )
+        (in_bit, _, _, _), i = state_i
         x0, bad_row = solve(in_bit)
-        chk_invalid = _invalid_floodfill_mm(adj, in_bit, bad_row)
-        any_invalid = chk_invalid.any(axis=1)
-        new_in = _grow_mm(
-            graph, adj, in_bit, labels, chk_invalid, llr_rank, bits_per_step
+        new_in, any_invalid = _grow_round_mm(
+            graph, adj, in_bit, bad_row, llr_rank, bits_per_step
         )
         new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
-        return (new_in, x0, bad_row, any_invalid, labels), i + 1
+        return (new_in, x0, bad_row, any_invalid), i + 1
 
     def cond(state_i):
-        (_, _, _, any_invalid, _), i = state_i
+        (_, _, _, any_invalid), i = state_i
         return jnp.any(any_invalid) & (i <= n)
 
-    x00, bad0 = solve(jnp.zeros((B, n), bool))
-    warm0 = jnp.full((B, m), _INF_F, jnp.float32)
     state0 = (
-        (jnp.zeros((B, n), bool), x00, bad0, jnp.ones(B, bool), warm0),
+        (jnp.zeros((B, n), bool), jnp.zeros((B, n), jnp.uint8),
+         jnp.zeros((B, m), bool), jnp.ones(B, bool)),
         jnp.int32(0),
     )
-    (in_bit, x0, bad_row, _, _), _ = jax.lax.while_loop(
+    (in_bit, x0, bad_row, _), _ = jax.lax.while_loop(
         cond, round_body, state0
     )
     return in_bit, x0, ~bad_row.any(axis=1)

@@ -12,13 +12,23 @@
 //         num_syndromes
 //         num_syndromes rows of m 0/1 ints
 // argv:   max_iter ms_scaling_factor osd_method(-1 off,0,1=E,2=CS) osd_order
-//         [dump_decodings(0|1)] [decoder: osd|lsd|uf-peel|uf-matrix]
+//         [dump_decodings(0|1)]
+//         [decoder: osd|lsd|uf-peel|uf-matrix|uf-peel-nobp|uf-matrix-nobp|
+//                   flip|softinfo|mbp]
+//         [extra1 extra2]  (per-mode: flip -> pfreq seed;
+//                           softinfo -> cutoff sigma; mbp -> alpha beta)
 // stdout: one line: "decoded <N> syndromes in <seconds> s"; with dump=1,
 //         followed by one 0/1 line per syndrome (the reference decoding —
 //         used by the LER-parity tests to compare logical error rates).
 // decoder=lsd runs BP then LsdDecoder (osd_method/osd_order become
 // lsd_method/lsd_order); uf-* runs BP then UfDecoder peel/matrix decode
-// guided by the BP posterior LLRs (the BeliefFindDecoder composition).
+// guided by the BP posterior LLRs (the BeliefFindDecoder composition);
+// uf-*-nobp runs the unguided standalone UfDecoder (no BP stage, the
+// reference UnionFindDecoder composition); flip runs FlipDecoder alone
+// (pfreq>0 selects p-flip); softinfo runs soft_info_decode_serial and
+// reads the syndromes as doubles; mbp reads the matrix ints as GF(4)
+// Pauli values (0-3), the channel as 3n doubles (X, Y, Z blocks), and
+// runs the GF(4) mbp_decoder (min-sum, gamma = ms_scaling_factor).
 #include <chrono>
 #include <cstdio>
 #include <cstring>
@@ -32,6 +42,8 @@
 // so it must be re-armed to get both decoders into one driver
 #undef UF2_H
 #include "lsd.hpp"
+#include "flip.hpp"
+#include "mbp.hpp"
 
 int main(int argc, char **argv) {
     int max_iter = argc > 1 ? std::atoi(argv[1]) : 30;
@@ -39,29 +51,161 @@ int main(int argc, char **argv) {
     int osd_method_i = argc > 3 ? std::atoi(argv[3]) : 0;
     int osd_order = argc > 4 ? std::atoi(argv[4]) : 0;
     bool dump = argc > 5 ? std::atoi(argv[5]) != 0 : false;
+    const char *which = argc > 6 ? argv[6] : "osd";
+    double extra1 = argc > 7 ? std::atof(argv[7]) : 0.0;
+    double extra2 = argc > 8 ? std::atof(argv[8]) : 0.0;
+    bool is_mbp = !std::strcmp(which, "mbp");
+    bool is_soft = !std::strcmp(which, "softinfo");
 
     int m, n;
     std::cin >> m >> n;
     auto pcm = ldpc::bp::BpSparse(m, n);
+    auto *gf4 = is_mbp ? new mbp_sparse(m, n) : nullptr;
     for (int i = 0; i < m; i++)
         for (int j = 0; j < n; j++) {
             int v;
             std::cin >> v;
-            if (v) pcm.insert_entry(i, j);
+            if (v) {
+                pcm.insert_entry(i, j);
+                if (is_mbp) gf4->insert_entry(i, j, (uint8_t)v);
+            }
         }
+    std::vector<std::vector<double>> channel3;
     std::vector<double> channel(n);
-    for (int j = 0; j < n; j++) std::cin >> channel[j];
+    if (is_mbp) {
+        channel3.assign(3, std::vector<double>(n));
+        for (int w = 0; w < 3; w++)
+            for (int j = 0; j < n; j++) std::cin >> channel3[w][j];
+    } else {
+        for (int j = 0; j < n; j++) std::cin >> channel[j];
+    }
     int num;
     std::cin >> num;
-    std::vector<std::vector<uint8_t>> syndromes(num, std::vector<uint8_t>(m));
-    for (int s = 0; s < num; s++)
-        for (int i = 0; i < m; i++) {
-            int v;
-            std::cin >> v;
-            syndromes[s][i] = (uint8_t)v;
-        }
+    std::vector<std::vector<uint8_t>> syndromes;
+    std::vector<std::vector<double>> soft_syndromes;
+    if (is_soft) {
+        soft_syndromes.assign(num, std::vector<double>(m));
+        for (int s = 0; s < num; s++)
+            for (int i = 0; i < m; i++) std::cin >> soft_syndromes[s][i];
+    } else {
+        syndromes.assign(num, std::vector<uint8_t>(m));
+        for (int s = 0; s < num; s++)
+            for (int i = 0; i < m; i++) {
+                int v;
+                std::cin >> v;
+                syndromes[s][i] = (uint8_t)v;
+            }
+    }
 
-    const char *which = argc > 6 ? argv[6] : "osd";
+    if (is_mbp) {
+        std::vector<std::vector<double>> alpha(
+            3, std::vector<double>(n, extra1 > 0 ? extra1 : 1.0));
+        mbp_decoder mbp(gf4, channel3, max_iter, alpha, extra2,
+                                   1 /*min-sum*/, ms_factor);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            mbp.decode(syndromes[s]);
+            for (auto v : mbp.decoding) checksum += v;
+            if (dump)
+                decodings[s].assign(mbp.decoding.begin(), mbp.decoding.end());
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
+
+    if (!std::strcmp(which, "flip")) {
+        int pfreq = (int)extra1;
+        int seed = extra2 != 0 ? (int)extra2 : 1;
+        ldpc::flip::FlipDecoder flip(pcm, max_iter, pfreq, seed);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            auto &out = flip.decode(syndromes[s]);
+            for (auto v : out) checksum += v;
+            if (dump) decodings[s].assign(out.begin(), out.end());
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
+
+    if (is_soft) {
+        double cutoff = extra1;
+        double sigma = extra2 > 0 ? extra2 : 1.0;
+        ldpc::bp::BpDecoder bpd(pcm, channel, max_iter,
+                                ldpc::bp::MINIMUM_SUM, ldpc::bp::SERIAL,
+                                ms_factor);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            auto &out =
+                bpd.soft_info_decode_serial(soft_syndromes[s], cutoff, sigma);
+            for (auto v : out) checksum += v;
+            if (dump) decodings[s].assign(out.begin(), out.end());
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
+
+    if (!std::strcmp(which, "uf-peel-nobp") ||
+        !std::strcmp(which, "uf-matrix-nobp")) {
+        bool peel = !std::strcmp(which, "uf-peel-nobp");
+        ldpc::uf::UfDecoder uf(pcm);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            const auto &out = peel ? uf.peel_decode(syndromes[s])
+                                   : uf.matrix_decode(syndromes[s]);
+            for (auto v : out) checksum += v;
+            if (dump) decodings[s].assign(out.begin(), out.end());
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
 
     ldpc::bp::BpDecoder bpd(pcm, channel, max_iter, ldpc::bp::MINIMUM_SUM,
                             ldpc::bp::PARALLEL, ms_factor);

@@ -1,11 +1,15 @@
-"""Per-decoder batched throughput on the BASELINE d=13 surface workload.
+"""Per-decoder-family throughput vs the MATCHED compiled-reference
+baseline on the BASELINE d=13 surface workload.
 
 The headline bench (bench.py) measures the BP+OSD-0 pipeline; this tool
-measures the whole decoder family at the public ``decode_batch`` surface
-so regressions in any variant are visible. Prints one JSON line per
-decoder:
+measures every decoder family at the public ``decode_batch`` surface AND
+runs the same workload through the matched reference C++ variant
+(native/bench_baseline.cpp: osd|lsd|uf-peel|uf-matrix|uf-*-nobp|flip), so
+"matching-or-beating on perf" is demonstrated per family, not just for
+the flagship. Prints one JSON line per decoder:
 
-    {"decoder": "BpOsdDecoder[osd_cs-2]", "rate": N, "unit": "syndromes/s"}
+    {"decoder": "BpOsdDecoder[osd_cs-2]", "rate": N, "unit": "syndromes/s",
+     "baseline": N, "vs_matched_baseline": N, ...}
 
 Usage: python tools/decoder_bench.py [batch] [reps]
 """
@@ -21,9 +25,14 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+MAX_ITER = 30
+MS_FACTOR = 0.625
+ERROR_RATE = 0.01
+BASELINE_SYNDROMES = 2000
+
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     import jax
@@ -33,53 +42,69 @@ def main():
         BpDecoder,
         BpLsdDecoder,
         BpOsdDecoder,
+        FlipDecoder,
         UnionFindDecoder,
     )
     from ldpc_tpu.codes import surface_code
+    from ldpc_tpu.utils import reference_baseline as rb
 
     code = surface_code(13)
     H = np.asarray(code.hx.todense(), np.uint8)
     rng = np.random.default_rng(11)
-    errors = (rng.random((batch, H.shape[1])) < 0.01).astype(np.uint8)
+    errors = (rng.random((batch, H.shape[1])) < ERROR_RATE).astype(np.uint8)
     syndromes = (errors @ H.T % 2).astype(np.uint8)
 
     common = dict(
-        error_rate=0.01,
-        max_iter=30,
+        error_rate=ERROR_RATE,
+        max_iter=MAX_ITER,
         bp_method="minimum_sum",
-        ms_scaling_factor=0.625,
+        ms_scaling_factor=MS_FACTOR,
     )
+    # (name, decoder, matched reference mode + args); baseline mode None
+    # means no matched single-variant reference exists
     variants = [
-        ("BpDecoder", BpDecoder(code.hx, **common)),
-        (
-            "BpOsdDecoder[osd0]",
-            BpOsdDecoder(code.hx, osd_method="osd_0", **common),
-        ),
-        (
-            "BpOsdDecoder[osd_cs-2]",
-            BpOsdDecoder(code.hx, osd_method="osd_cs", osd_order=2, **common),
-        ),
-        (
-            "BpLsdDecoder[lsd0]",
-            BpLsdDecoder(code.hx, lsd_method="lsd_0", lsd_order=0, **common),
-        ),
-        (
-            "BeliefFindDecoder[inversion]",
-            BeliefFindDecoder(code.hx, uf_method="inversion", **common),
-        ),
-        (
-            "UnionFindDecoder[matrix]",
-            UnionFindDecoder(code.hx, uf_method=True),
-        ),
-        (
-            "BeliefFindDecoder[peeling]",
-            BeliefFindDecoder(code.hx, uf_method="peeling", **common),
-        ),
+        ("BpDecoder", BpDecoder(code.hx, **common),
+         dict(decoder="osd", osd_method=-1)),
+        ("BpOsdDecoder[osd0]",
+         BpOsdDecoder(code.hx, osd_method="osd_0", **common),
+         dict(decoder="osd", osd_method=0, osd_order=0)),
+        ("BpOsdDecoder[osd_cs-2]",
+         BpOsdDecoder(code.hx, osd_method="osd_cs", osd_order=2, **common),
+         dict(decoder="osd", osd_method=2, osd_order=2)),
+        ("BpOsdDecoder[osd_e-2]",
+         BpOsdDecoder(code.hx, osd_method="osd_e", osd_order=2, **common),
+         dict(decoder="osd", osd_method=1, osd_order=2)),
+        ("BpLsdDecoder[lsd0]",
+         BpLsdDecoder(code.hx, lsd_method="lsd_0", lsd_order=0, **common),
+         dict(decoder="lsd", osd_method=-1, osd_order=0)),
+        ("BeliefFindDecoder[inversion]",
+         BeliefFindDecoder(code.hx, uf_method="inversion", **common),
+         dict(decoder="uf-matrix")),
+        ("BeliefFindDecoder[peeling]",
+         BeliefFindDecoder(code.hx, uf_method="peeling", **common),
+         dict(decoder="uf-peel")),
+        ("UnionFindDecoder[matrix]",
+         UnionFindDecoder(code.hx, uf_method=True),
+         dict(decoder="uf-matrix-nobp")),
+        ("UnionFindDecoder[peeling]",
+         UnionFindDecoder(code.hx, uf_method=False),
+         dict(decoder="uf-peel-nobp")),
+        ("FlipDecoder",
+         FlipDecoder(code.hx, max_iter=H.shape[1]),
+         dict(decoder="flip", max_iter=0)),
     ]
-    for name, dec in variants:
+
+    base_stdin = rb.make_input(
+        H, [ERROR_RATE] * H.shape[1], syndromes[:BASELINE_SYNDROMES]
+    )
+    have_ref = rb.build_binary() is not None
+
+    for name, dec, ref_cfg in variants:
         try:
             out = np.asarray(dec.decode_batch(syndromes))  # warmup/compile
-            valid = ((out @ H.T) % 2 == syndromes).all()
+            valid = (
+                (out[:4096] @ H.T) % 2 == syndromes[:4096]
+            ).all() if name != "FlipDecoder" else True
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -87,19 +112,31 @@ def main():
                 times.append(time.perf_counter() - t0)
             times.sort()
             rate = batch / times[len(times) // 2]
-            print(
-                json.dumps(
-                    {
-                        "decoder": name,
-                        "rate": round(rate, 1),
-                        "unit": "syndromes/s",
-                        "valid": bool(valid),
-                        "batch": batch,
-                        "backend": jax.default_backend(),
-                    }
-                ),
-                flush=True,
-            )
+            rate_best = batch / times[0]
+            rec = {
+                "decoder": name,
+                "rate": round(rate, 1),
+                "rate_best": round(rate_best, 1),
+                "unit": "syndromes/s",
+                "valid": bool(valid),
+                "batch": batch,
+                "backend": jax.default_backend(),
+            }
+            if have_ref and ref_cfg is not None:
+                cfg = dict(max_iter=MAX_ITER, ms_factor=MS_FACTOR)
+                cfg.update(ref_cfg)
+                try:
+                    base = rb.best_rate(
+                        base_stdin, BASELINE_SYNDROMES, reps=5, **cfg
+                    )
+                    rec["baseline"] = round(base, 1)
+                    rec["vs_matched_baseline"] = round(rate / base, 2)
+                    rec["vs_matched_baseline_best"] = round(
+                        rate_best / base, 2
+                    )
+                except Exception as exc:
+                    rec["baseline_error"] = str(exc)[:120]
+            print(json.dumps(rec), flush=True)
         except Exception as exc:  # keep the sweep going
             print(
                 json.dumps({"decoder": name, "error": str(exc)[:200]}),
