@@ -59,36 +59,54 @@ class UnionFindDecoder:
             self._cache[key] = fn
         return fn
 
-    def _packed_fn(self, bits_per_step: int, guided: bool):
+    def _packed_fn(self, bits_per_step: int, guided: bool, staged_K: int = 0):
         """One-dispatch program: bit-packed syndromes in, ONE packed
-        uint8 buffer (decodings + validity bits) out — distinct
-        host<->device transfers dominate on tunneled links, and the
-        unguided path synthesizes its zero LLRs on device instead of
-        uploading a (B, n) float block."""
-        key = ("packed", self.uf_method, bits_per_step, guided)
+        uint8 buffer (decodings + validity bits + phase-1 fail count)
+        out — distinct host<->device transfers dominate on tunneled
+        links, and the unguided path synthesizes its zero LLRs on device
+        instead of uploading a (B, n) float block. ``staged_K > 0``
+        selects the two-phase growth (fixed rounds on the full batch,
+        straggler tail on the compacted top-K lanes)."""
+        key = ("packed", self.uf_method, bits_per_step, guided, staged_K)
         fn = self._cache.get(key)
         if fn is None:
             import jax
 
             from ldpc_tpu.ops import gf2
 
-            inner = self._fn(bits_per_step, guided)
+            maker = (
+                uf_ops.make_uf_decoder
+                if self.uf_method
+                else uf_ops.make_peel_decoder
+            )
+            inner = maker(
+                self._graph,
+                bits_per_step=bits_per_step if guided else 0,
+                staged_K=staged_K,
+            )
             m, n = self.m, self.n
 
             def program(syn_packed, llrs):
                 syn = gf2.unpack_bits_u8_device(syn_packed, m)
                 if llrs is None:
                     llrs = jnp.zeros((syn.shape[0], n), jnp.float32)
-                dec, valid = inner(syn, llrs)
+                out = inner(syn, llrs)
+                dec, valid = out[0], out[1]
+                nfail = (
+                    out[2] if staged_K else jnp.int32(0)
+                )
                 nonzero = syn.any(axis=1)
                 dec = dec * nonzero[:, None].astype(dec.dtype)
                 valid = valid | ~nonzero
+                import jax as _jax
+
                 buf = jnp.concatenate(
                     [
                         gf2.pack_bits_u8(dec).reshape(-1),
                         gf2.pack_bits_u8(
                             valid[None, :].astype(jnp.uint8)
                         )[0],
+                        _jax.lax.bitcast_convert_type(nfail, jnp.uint8),
                     ]
                 )
                 return buf
@@ -134,41 +152,73 @@ class UnionFindDecoder:
         guided = llrs is not None
         if guided:
             llrs = np.atleast_2d(np.asarray(llrs, dtype=np.float32))
-        # pad the batch to coarse buckets so the jitted program compiles
-        # O(log B) times, and ship/pull everything bit-packed in ONE
-        # buffer each way (tunneled links pay ~25 ms per distinct pull)
-        Bpad = (
-            -(-B0 // 512) * 512 if B0 >= 512 else max(128, -(-B0 // 128) * 128)
-        )
-        syn_packed = np.packbits(syndromes, axis=1, bitorder="little")
-        if Bpad != B0:
-            syn_packed = np.concatenate(
-                [
-                    syn_packed,
-                    np.zeros((Bpad - B0, syn_packed.shape[1]), np.uint8),
-                ]
-            )
-            if guided:
-                llrs = np.concatenate(
-                    [llrs, np.zeros((Bpad - B0, self.n), np.float32)]
-                )
-        fn = self._packed_fn(bits_per_step, guided)
-        buf = np.asarray(
-            fn(
-                jnp.asarray(syn_packed),
-                jnp.asarray(llrs) if guided else None,
-            )
-        )
+        import jax
+
+        # chunked single-pull pipeline: each chunk's H2D/compute/D2H
+        # overlaps its neighbours' via async dispatch, everything
+        # bit-packed both ways (tunneled links pay ~25 ms per pull); big
+        # chunks take the two-phase straggler-compacted growth
+        packed_all = np.packbits(syndromes, axis=1, bitorder="little")
+        CH = 8192
         Wb = -(-self.n // 8)
-        dec = np.unpackbits(
-            buf[: Bpad * Wb].reshape(Bpad, Wb)[:B0],
-            axis=1,
-            count=self.n,
-            bitorder="little",
-        )
-        self.valid_batch = np.unpackbits(
-            buf[Bpad * Wb :], count=B0, bitorder="little"
-        ).astype(bool)
+        launches = []
+        for st in range(0, B0, CH) or [0]:
+            chunk = packed_all[st : st + CH]
+            Bc = chunk.shape[0]
+            Bpad = (
+                -(-Bc // 512) * 512
+                if Bc >= 512
+                else max(128, -(-Bc // 128) * 128)
+            )
+            if Bpad != Bc:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
+                )
+            llr_c = None
+            if guided:
+                llr_c = llrs[st : st + Bc]
+                if Bpad != Bc:
+                    llr_c = np.concatenate(
+                        [llr_c, np.zeros((Bpad - Bc, self.n), np.float32)]
+                    )
+                llr_c = jnp.asarray(llr_c)
+            staged_K = 0
+            if Bpad >= 4096 and jax.default_backend() == "tpu":
+                staged_K = max(512, -(-(Bpad // 8) // 512) * 512)
+            dev = jnp.asarray(chunk)
+            try:
+                fn = self._packed_fn(bits_per_step, guided, staged_K)
+            except ValueError:
+                staged_K = 0  # fused solver unavailable (CPU / big code)
+                fn = self._packed_fn(bits_per_step, guided, 0)
+            buf = fn(dev, llr_c)
+            if hasattr(buf, "copy_to_host_async"):
+                buf.copy_to_host_async()
+            launches.append((st, Bc, Bpad, staged_K, dev, llr_c, buf))
+
+        dec = np.empty((B0, self.n), np.uint8)
+        valid = np.empty(B0, bool)
+        for st, Bc, Bpad, staged_K, dev, llr_c, buf in launches:
+            buf_np = np.asarray(buf)
+            if staged_K:
+                nfail = int(
+                    np.ascontiguousarray(buf_np[-4:]).view(np.int32)[0]
+                )
+                if nfail > staged_K:  # bucket overflow: single-loop redo
+                    fn = self._packed_fn(bits_per_step, guided, 0)
+                    buf_np = np.asarray(fn(dev, llr_c))
+            dec[st : st + Bc] = np.unpackbits(
+                buf_np[: Bpad * Wb].reshape(Bpad, Wb)[:Bc],
+                axis=1,
+                count=self.n,
+                bitorder="little",
+            )
+            valid[st : st + Bc] = np.unpackbits(
+                buf_np[Bpad * Wb : Bpad * Wb + Bpad // 8],
+                count=Bc,
+                bitorder="little",
+            ).astype(bool)
+        self.valid_batch = valid
         self._decoding = dec[0]
         return dec
 

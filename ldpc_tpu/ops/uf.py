@@ -496,31 +496,13 @@ def _grow_round_mm(graph, adj, in_bit, bad_row, llr_rank, bits_per_step):
     return grown, any_invalid
 
 
-def grow_until_valid_fast(
-    graph: PcmGraph, syndromes, llrs, bits_per_step, dtype, solver
-):
-    """:func:`grow_until_valid` on the fused pallas cluster solver.
-
-    Identical pivot choices (in-cluster columns, ascending LLR, first
-    unused 1-row), so solutions match the XLA engine bit-for-bit; the
-    per-round elimination only walks each lane's own cluster columns
-    instead of re-streaming the whole masked PCM from HBM, and the
-    growth/validity decisions ride :func:`_grow_round_mm`'s single
-    stacked floodfill.
-
-    Returns ``(in_bit, x0: (B, n) uint8 in ORIGINAL coordinates,
-    valid: (B,) bool)``.
-    """
-    m, n = graph.m, graph.n
-    B = syndromes.shape[0]
+def _fast_round_fns(graph, syndromes, llrs, bits_per_step, dtype, solver):
+    """Shared per-round machinery of the fused growth loop."""
+    adj = _adj_constants(graph)
     syn_u8 = syndromes.astype(jnp.uint8)
     inf = jnp.array(np.inf, dtype)
-    adj = _adj_constants(graph)
-    # static per-decode LLR ordering rank (unique growth tie-break keys)
     sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True)
-    llr_rank = (
-        jnp.argsort(sub, axis=1, stable=True).astype(jnp.float32)
-    )
+    llr_rank = jnp.argsort(sub, axis=1, stable=True).astype(jnp.float32)
 
     def solve(in_bit):
         key = jnp.where(in_bit, llrs.astype(dtype), inf)
@@ -537,19 +519,107 @@ def grow_until_valid_fast(
         new_in = jnp.where(any_invalid[:, None], new_in, in_bit)
         return (new_in, x0, bad_row, any_invalid), i + 1
 
+    return solve, round_body
+
+
+def grow_until_valid_fast(
+    graph: PcmGraph, syndromes, llrs, bits_per_step, dtype, solver,
+    in_bit0=None,
+):
+    """:func:`grow_until_valid` on the fused pallas cluster solver.
+
+    Identical pivot choices (in-cluster columns, ascending LLR, first
+    unused 1-row), so solutions match the XLA engine bit-for-bit; the
+    per-round elimination only walks each lane's own cluster columns
+    instead of re-streaming the whole masked PCM from HBM, and the
+    growth/validity decisions ride :func:`_grow_round_mm`'s single
+    stacked floodfill. ``in_bit0`` resumes lanes from a prior growth
+    state (the staged two-phase path).
+
+    Returns ``(in_bit, x0: (B, n) uint8 in ORIGINAL coordinates,
+    valid: (B,) bool)``.
+    """
+    m, n = graph.m, graph.n
+    B = syndromes.shape[0]
+    _, round_body = _fast_round_fns(
+        graph, syndromes, llrs, bits_per_step, dtype, solver
+    )
+
     def cond(state_i):
         (_, _, _, any_invalid), i = state_i
         return jnp.any(any_invalid) & (i <= n)
 
     state0 = (
-        (jnp.zeros((B, n), bool), jnp.zeros((B, n), jnp.uint8),
-         jnp.zeros((B, m), bool), jnp.ones(B, bool)),
+        (
+            jnp.zeros((B, n), bool) if in_bit0 is None else in_bit0,
+            jnp.zeros((B, n), jnp.uint8),
+            jnp.zeros((B, m), bool),
+            jnp.ones(B, bool),
+        ),
         jnp.int32(0),
     )
     (in_bit, x0, bad_row, _), _ = jax.lax.while_loop(
         cond, round_body, state0
     )
     return in_bit, x0, ~bad_row.any(axis=1)
+
+
+def grow_staged_fast(
+    graph: PcmGraph,
+    syndromes,
+    llrs,
+    bits_per_step,
+    dtype,
+    solver,
+    K: int,
+    phase1_rounds: int = 2,
+):
+    """Two-phase fused growth for big standalone batches: a fixed number
+    of rounds on the whole batch, then the unbounded while loop only on
+    the device-compacted top-``K`` still-invalid lanes (most lanes'
+    clusters validate within a round or two, so the expensive straggler
+    tail runs at a fraction of the batch). Exact: phase 2 resumes each
+    compacted lane from its phase-1 state, so final states match the
+    single-loop path lane-for-lane.
+
+    Returns ``(in_bit, x0, valid, nfail)`` — callers must redo with
+    ``K = B`` when ``nfail > K`` (bucket overflow).
+    """
+    m, n = graph.m, graph.n
+    B = syndromes.shape[0]
+    _, round_body = _fast_round_fns(
+        graph, syndromes, llrs, bits_per_step, dtype, solver
+    )
+
+    def body(i, state):
+        new_state, _ = round_body((state, jnp.int32(i)))
+        return new_state
+
+    state0 = (
+        jnp.zeros((B, n), bool),
+        jnp.zeros((B, n), jnp.uint8),
+        jnp.zeros((B, m), bool),
+        jnp.ones(B, bool),
+    )
+    in_bit, x0, bad_row, any_invalid = jax.lax.fori_loop(
+        0, phase1_rounds, body, state0
+    )
+    nfail = any_invalid.sum().astype(jnp.int32)
+    order = jnp.argsort(~any_invalid, stable=True)  # invalid lanes first
+    idx = order[:K]
+    in2, x02, valid2 = grow_until_valid_fast(
+        graph,
+        jnp.take(syndromes, idx, axis=0),
+        jnp.take(llrs, idx, axis=0),
+        bits_per_step,
+        dtype,
+        solver,
+        in_bit0=jnp.take(in_bit, idx, axis=0),
+    )
+    in_bit = in_bit.at[idx].set(in2)
+    x0 = x0.at[idx].set(x02)
+    valid = (~bad_row.any(axis=1)).at[idx].set(valid2)
+    return in_bit, x0, valid, nfail
 
 
 def grow_until_valid(graph: PcmGraph, syndromes, llrs, bits_per_step, dtype):
@@ -591,16 +661,25 @@ def grow_until_valid(graph: PcmGraph, syndromes, llrs, bits_per_step, dtype):
     return in_bit, res, order
 
 
-def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
+def make_uf_decoder(
+    graph: PcmGraph,
+    bits_per_step: int = 0,
+    dtype=jnp.float32,
+    staged_K: int = 0,
+    phase1_rounds: int = 2,
+):
     """Build a jitted batched union-find inversion-mode decoder
     (union_find.hpp:485-532).
 
     ``bits_per_step == 0`` grows every boundary bit of every invalid
     cluster per round; otherwise the ``bits_per_step`` lowest-LLR
     boundary bits per cluster join per round (the BeliefFind mode).
+    ``staged_K > 0`` (TPU, big standalone batches) runs the two-phase
+    compacted growth (:func:`grow_staged_fast`) and additionally returns
+    the phase-1 still-invalid count for overflow detection.
 
     Returns ``decode(syndromes: (B, m) uint8, llrs: (B, n)) ->
-    (decoding: (B, n) uint8, valid: (B,) bool)``.
+    (decoding: (B, n) uint8, valid: (B,) bool[, nfail])``.
     """
     if bits_per_step >= graph.n:
         # a per-cluster rank bound of >= n admits every boundary bit, so
@@ -610,10 +689,18 @@ def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
         bits_per_step = 0
 
     solver = make_masked_solver_or_none(graph, dtype)
+    if staged_K and solver is None:
+        raise ValueError("staged growth requires the fused solver (TPU)")
 
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
         B = syndromes.shape[0]
         syndromes = syndromes.astype(jnp.uint8)
+        if staged_K:
+            _, x0, valid, nfail = grow_staged_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, solver,
+                K=staged_K, phase1_rounds=phase1_rounds,
+            )
+            return x0, valid, nfail
         if solver is not None:  # fused pallas cluster solves (TPU)
             _, x0, valid = grow_until_valid_fast(
                 graph, syndromes, llrs, bits_per_step, dtype, solver
@@ -632,7 +719,13 @@ def make_uf_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
 # ----------------------------------------------------------------------
 # peeling mode (planar codes, column degree <= 2)
 # ----------------------------------------------------------------------
-def make_peel_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32):
+def make_peel_decoder(
+    graph: PcmGraph,
+    bits_per_step: int = 0,
+    dtype=jnp.float32,
+    staged_K: int = 0,
+    phase1_rounds: int = 2,
+):
     """Build a jitted batched union-find peeling decoder
     (union_find.hpp:428-480).
 
@@ -891,11 +984,46 @@ def make_peel_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32
         return dec.astype(jnp.uint8), ~leftover
 
     solver = make_masked_solver_or_none(graph, dtype)
+    if staged_K and solver is None:
+        raise ValueError("staged growth requires the fused solver (TPU)")
+    iota_f = jnp.arange(n, dtype=jnp.float32)[None, :]
+    interior_f = jnp.asarray(~bnd_np)[None, :]
+
+    def forest_solve(in_bit, syndromes):
+        """The peeling result as ONE elimination, no explicit forest.
+
+        Over GF(2), a set of interior edge columns (two 1s each) is
+        independent iff it contains no cycle, and a boundary column
+        (one 1) is dependent on a cluster's interior tree plus another
+        boundary column of the same cluster. Greedy elimination over the
+        in-cluster columns ordered [interior ascending, boundary
+        ascending] therefore pivots on exactly a spanning forest of each
+        cluster plus at most one boundary edge per component — the same
+        structure the reference's union-find forest has — and its
+        solution (support on pivot columns only) IS that forest's unique
+        tree solution, which is what iterative peeling computes
+        (union_find.hpp:253-312). Validity = no unreduced syndrome-1
+        row, i.e. parity even or boundary present, per component."""
+        key = jnp.where(
+            in_bit,
+            jnp.where(interior_f, iota_f, iota_f + jnp.float32(n)),
+            jnp.float32(np.inf),
+        )
+        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+        count = in_bit.sum(axis=1).astype(jnp.int32)
+        x0, bad_row = solver(syndromes, order, count)
+        return x0, ~bad_row.any(axis=1)
 
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
         syndromes = syndromes.astype(jnp.uint8)
         seed_checks = syndromes == 1
-        if solver is not None:
+        nfail = None
+        if staged_K:
+            in_bit, _, _, nfail = grow_staged_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, solver,
+                K=staged_K, phase1_rounds=phase1_rounds,
+            )
+        elif solver is not None:
             in_bit, _, _ = grow_until_valid_fast(
                 graph, syndromes, llrs, bits_per_step, dtype, solver
             )
@@ -903,8 +1031,16 @@ def make_peel_decoder(graph: PcmGraph, bits_per_step: int = 0, dtype=jnp.float32
             in_bit, _, _ = grow_until_valid(
                 graph, syndromes, llrs, bits_per_step, dtype
             )
-        labels, _ = _propagate_labels_mm(graph, adj, in_bit, seed_checks)
-        tree = build_forest(in_bit, labels)
-        return peel(tree, syndromes)
+        if solver is not None:
+            dec, valid = forest_solve(in_bit, syndromes)
+        else:
+            labels, _ = _propagate_labels_mm(
+                graph, adj, in_bit, seed_checks
+            )
+            tree = build_forest(in_bit, labels)
+            dec, valid = peel(tree, syndromes)
+        if staged_K:
+            return dec, valid, nfail
+        return dec, valid
 
     return jax.jit(decode)
