@@ -119,7 +119,7 @@ int main(int argc, char **argv) {
         if (dump)
             for (int s = 0; s < num; s++) {
                 for (int j = 0; j < n; j++)
-                    std::putchar(decodings[s][j] ? '1' : '0');
+                    std::putchar('0' + decodings[s][j]);  // GF(4) digits
                 std::putchar('\n');
             }
         return 0;
