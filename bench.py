@@ -117,6 +117,32 @@ def measure_baseline(H, syndromes):
         return FALLBACK_BASELINE_RATE, f"fallback(run failed: {exc})"
 
 
+def run_tpu_smoke():
+    """Run the hardware test lane (tools/tpu_smoke.py) so every bench
+    round validates the TPU-only lowerings; 'pass'/'fail'/'error'."""
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_smoke.py"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, tool],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        return "pass" if proc.returncode == 0 else "fail"
+    except Exception:
+        return "error"
+
+
+# TPU v5e (one chip) peak dense f32 MXU throughput; the BP kernel's
+# message math runs f32 on VPU+MXU, so this is the roofline reference
+V5E_PEAK_F32_TFLOPS = 98.0
+# min-sum edge update cost: check->bit two-pass min/sign + bit->check
+# accumulate + LLR/harddec, ~14 fused flop-equivalents per edge per iter
+FLOPS_PER_EDGE_ITER = 14.0
+
+
 def measure_device_mc():
     """The device-resident MC pipeline (sample+decode+check on chip)."""
     import jax
@@ -148,14 +174,28 @@ def measure_device_mc():
         jax.block_until_ready(step(jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return runs_per_call / times[len(times) // 2]
+    dt = times[len(times) // 2]
+    # roofline diagnostic: achieved BP edge-message flops vs chip peak —
+    # an absolute utilization number, independent of the C++ baseline's
+    # host-load noise (counters[3] = total BP iterations actually run;
+    # phase-1 iterations run for the whole batch each call)
+    nnz = int(code.hx.nnz)
+    total_edge_iters = (counters[3] + 3 * runs_per_call) * nnz
+    flops = total_edge_iters * FLOPS_PER_EDGE_ITER
+    tflops = flops / dt / 1e12
+    return runs_per_call / dt, {
+        "bp_tflops": round(tflops, 2),
+        "mxu_utilization": round(tflops / V5E_PEAK_F32_TFLOPS, 4),
+        "bp_edge_iters_per_call": total_edge_iters,
+    }
 
 
 def _attempt():
     code, H, errors, syndromes = build_workload()
-    mc_rate = measure_device_mc()
+    mc_rate, roofline = measure_device_mc()
     host_rate = measure_tpu(code, H, syndromes)
     base_rate, base_src = measure_baseline(H, syndromes)
+    tpu_smoke = run_tpu_smoke()
     import jax
 
     print(json.dumps({
@@ -170,6 +210,8 @@ def _attempt():
         "host_boundary_vs_baseline": round(host_rate / base_rate, 2),
         "batch": BATCH,
         "backend": jax.devices()[0].platform,
+        "tpu_smoke": tpu_smoke,
+        **roofline,
     }))
 
 

@@ -354,11 +354,23 @@ class BpDecoderBase:
             bp2 = self._run_bp_batch(syn_f)
             sub_dec, sub_conv = bp2.decoding, bp2.converged
             sub_llr, sub_iters = bp2.llr_posterior, bp2.iterations
+            # expose FULL-depth LLRs/decodings for bucket rows (the
+            # reference's post-max_iter values), not phase-1 state —
+            # device-side scatter, no extra pull (arrays stay lazy)
+            sent = jnp.where(rowvalid, idx_dev, B)
+            llr_batch = jnp.concatenate(
+                [bp1.llr_posterior, jnp.zeros_like(bp1.llr_posterior[:1])]
+            ).at[sent].set(sub_llr)[:B]
+            bp_dec_batch = jnp.concatenate(
+                [bp1.decoding, jnp.zeros_like(bp1.decoding[:1])]
+            ).at[sent].set(sub_dec)[:B]
         else:
             sub_dec = jnp.take(bp1.decoding, idx_dev, axis=0)
             sub_conv = jnp.take(bp1.converged, idx_dev)
             sub_llr = jnp.take(bp1.llr_posterior, idx_dev, axis=0)
             sub_iters = jnp.take(bp1.iterations, idx_dev)
+            llr_batch = bp1.llr_posterior
+            bp_dec_batch = bp1.decoding
         post_dec = self._compacted_post(post_fn, syn_f, sub_conv, sub_llr)
         combined = np.asarray(
             self._post_epilogue_fn()(
@@ -380,8 +392,8 @@ class BpDecoderBase:
             "out_packed": out_packed,
             "conv": conv,
             "iters": iters,
-            "llr_batch": bp1.llr_posterior,
-            "bp_dec": bp1.decoding,
+            "llr_batch": llr_batch,
+            "bp_dec": bp_dec_batch,
             "llr_row0": sub_llr[0] if row0_failed else bp1.llr_posterior[0],
             "bp_dec_row0": sub_dec[0] if row0_failed else bp1.decoding[0],
             "failed": failed,

@@ -160,8 +160,7 @@ class BpDecoder(BpDecoderBase):
             buf_np[o1:o2], count=B, bitorder="little"
         ).astype(bool)
         self.iter_batch = (
-            np.ascontiguousarray(buf_np[o2:]).view(np.uint16)[:B]
-            .astype(np.int32)
+            np.ascontiguousarray(buf_np[o2:]).view(np.int32)[:B].copy()
         )
         self.log_prob_ratios_batch = result.llr_posterior  # device; lazy
         if bit_packed_output:
@@ -183,9 +182,11 @@ class BpDecoder(BpDecoderBase):
                         gf2.pack_bits_u8(
                             conv.astype(jnp.uint8)[None, :]
                         )[0],
+                        # int32 layout: max_iter=0 means n iterations
+                        # (reference semantics), so codes with n > 65535
+                        # must not saturate a u16 count
                         jax.lax.bitcast_convert_type(
-                            jnp.minimum(iters, 0xFFFF).astype(jnp.uint16),
-                            jnp.uint8,
+                            iters.astype(jnp.int32), jnp.uint8
                         ).reshape(-1),
                     ]
                 )

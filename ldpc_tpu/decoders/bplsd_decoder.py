@@ -128,8 +128,20 @@ class BpLsdDecoder(BpDecoderBase):
     def do_stats(self) -> bool:
         return self._do_stats
 
-    def set_do_stats(self, value: bool) -> None:
+    def set_do_stats(self, value: bool, row: int = 0) -> None:
+        """Enable statistics collection. ``row`` selects which batch
+        element a subsequent ``decode_batch`` records statistics for
+        (the reference's single-syndrome ``decode`` semantics correspond
+        to row 0; ``statistics.stats_row`` records the choice)."""
         self._do_stats = bool(value)
+        if row < 0:
+            raise ValueError(f"stats row must be >= 0, not {row}")
+        self._stats_row = int(row)
+
+    @property
+    def stats_row(self) -> int:
+        """The batch row the next decode's statistics will describe."""
+        return getattr(self, "_stats_row", 0)
 
     def set_additional_stat_fields(self, error, syndrome, compare_recover):
         self._statistics.error = list(np.asarray(error).astype(int))
@@ -268,36 +280,54 @@ class BpLsdDecoder(BpDecoderBase):
                 self._decoding = out[0]
             llrs = None
 
-        # the LSD result is live for row 0 iff full-depth BP did not
-        # converge there (conv is full-depth: the cascade scatters bucket
-        # convergence back) — phase-1 failures that later converge get
-        # their stats cleared, as the reference's converge branch does —
-        # or when always_run_lsd forces the LSD stage regardless
-        lsd_ran_first = bool(nonzero[0]) and (
-            self.always_run_lsd or not bool(conv[0])
+        # the LSD result is live for the stats row iff full-depth BP did
+        # not converge there (conv is full-depth: the cascade scatters
+        # bucket convergence back) — phase-1 failures that later converge
+        # get their stats cleared, as the reference's converge branch
+        # does — or when always_run_lsd forces the LSD stage regardless
+        r = min(self.stats_row, syndromes.shape[0] - 1)
+        lsd_ran = bool(nonzero[r]) and (
+            self.always_run_lsd or not bool(conv[r])
         )
-        if not lsd_ran_first:
+        if not lsd_ran:
             # BP converged: stats reset, as the reference's converge
             # branch does (_bplsd_decoder.pyx:146-150)
             self._statistics.clear()
         else:
             self._statistics.clear()
             if self._do_stats:
-                # per-cluster growth history of the first element's LSD
-                # decode, replayed with the decoder's own growth
+                # per-cluster growth history of the selected element's
+                # LSD decode, replayed with the decoder's own growth
                 # primitives (lsd.hpp:652-816 semantics)
                 from ldpc_tpu.decoders.lsd_stats import compute_lsd_statistics
 
-                llr_row0 = np.asarray(llr_row0)
-                self._statistics.bit_llrs = list(map(float, llr_row0))
-                self._statistics.syndrome = list(map(int, syndromes[0]))
+                llr_r = (
+                    np.asarray(llr_row0)
+                    if r == 0
+                    else np.asarray(self.log_prob_ratios_batch[r])
+                )
+                dec_r = (
+                    self._decoding
+                    if r == 0
+                    else np.unpackbits(
+                        out[r : r + 1],
+                        axis=1,
+                        count=self.n,
+                        bitorder="little",
+                    )[0]
+                    if out.shape[1] == -(-self.n // 8)
+                    else out[r]
+                )
+                self._statistics.stats_row = r
+                self._statistics.bit_llrs = list(map(float, llr_r))
+                self._statistics.syndrome = list(map(int, syndromes[r]))
                 compute_lsd_statistics(
                     self.graph,
                     scipy.sparse.csc_matrix(self.pcm),
-                    syndromes[0],
-                    llr_row0,
+                    syndromes[r],
+                    llr_r,
                     self.bits_per_step,
-                    self._decoding,
+                    dec_r,
                     dtype=self._dtype,
                     stats=self._statistics,
                 )

@@ -374,17 +374,17 @@ class BpOsdDecoder(BpDecoderBase):
                 if osdw_fn is not None
                 else packed_dec
             )
-            iters_u16 = jnp.minimum(iters, 0xFFFF).astype(jnp.uint16)
             buf = jnp.concatenate(
                 [
                     packed_dec.reshape(-1),
                     pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
                     jax.lax.bitcast_convert_type(nfail, jnp.uint8),
+                    # int32 iters: max_iter=0 -> n, which can exceed u16
                     jax.lax.bitcast_convert_type(
-                        iters_u16, jnp.uint8
+                        iters.astype(jnp.int32), jnp.uint8
                     ).reshape(-1),
                 ]
-            )  # (Bpad*Wb + Bpad/8 + 4 + 2*Bpad,) uint8
+            )  # (Bpad*Wb + Bpad/8 + 4 + 4*Bpad,) uint8
             return buf, llrs, dec, packed_d0
 
         fn = jax.jit(program)
@@ -453,9 +453,7 @@ class BpOsdDecoder(BpDecoderBase):
                 buf_np[o1:o2], count=Bc, bitorder="little"
             ).astype(bool)
             it_np = (
-                np.ascontiguousarray(buf_np[o3:])
-                .view(np.uint16)[:Bc]
-                .astype(np.int32)
+                np.ascontiguousarray(buf_np[o3:]).view(np.int32)[:Bc].copy()
             )
             out_packed[st : st + Bc] = pd_np[:Bc]
             if out is not None:
@@ -836,10 +834,19 @@ class SoftInfoBpOsdDecoder(SoftInfoBpDecoder):
         # harden the post-BP soft syndrome: <= 0 means violated
         soft_all = np.atleast_2d(np.asarray(self.soft_syndrome_batch))
         failed = np.flatnonzero(~conv)
-        hard = (soft_all[failed] <= 0).astype(np.uint8)
-        llr_f = jnp.asarray(self.log_prob_ratios_batch[failed])
-        d0, dw, _ = self._osd_decode_fn()(jnp.asarray(hard), llr_f)
+        # pad the failed bucket to powers of two so the jitted OSD
+        # program compiles O(log B) times, not once per failure count
+        bucket = 1 << int(failed.size - 1).bit_length()
+        pad = bucket - failed.size
+        hard = np.zeros((bucket, self.m), np.uint8)
+        hard[: failed.size] = soft_all[failed] <= 0
+        llrs = np.asarray(self.log_prob_ratios_batch)
+        llr_f = np.zeros((bucket, self.n), llrs.dtype)
+        llr_f[: failed.size] = llrs[failed]
+        d0, dw, _ = self._osd_decode_fn()(
+            jnp.asarray(hard), jnp.asarray(llr_f)
+        )
         out = bp_out.copy()
-        out[failed] = np.asarray(dw, np.uint8)
+        out[failed] = np.asarray(dw, np.uint8)[: failed.size]
         self._decoding = out[0]
         return out

@@ -72,6 +72,9 @@ class Statistics:
     syndrome: List[int] = dataclasses.field(default_factory=list)
     error: List[int] = dataclasses.field(default_factory=list)
     compare_recover: List[int] = dataclasses.field(default_factory=list)
+    # which batch row the record describes (beyond-reference bookkeeping:
+    # the reference only ever decodes one syndrome per call)
+    stats_row: int = 0
 
     def __getitem__(self, key: str):
         """Dict-style access for parity with the reference's ``statistics``

@@ -102,11 +102,19 @@ def _build_core(
     bp_method: str = "minimum_sum",
     ms_scaling_factor: float = 0.625,
     osd: bool = True,
+    postprocess: str = "osd0",
+    bits_per_step: int = 1,
     use_pallas: Optional[bool] = None,
     sigma: Optional[float] = None,
     last_round_rate: float = 1e-15,
 ) -> _WindowCore:
-    """Compile the space-time PCM and build the per-window decode engine."""
+    """Compile the space-time PCM and build the per-window decode engine.
+
+    ``postprocess`` selects the BP fallback inside each window:
+    ``"osd0"`` (default, the reference OWD's BpOsd flavour) or
+    ``"lsd0"`` (cluster decoding guided by the window BP's posteriors —
+    the device-scan counterpart of the reference's LSD overlapping
+    window decoder, lsd_overlapping_window.py:11)."""
     if repetitions % 2 != 0:
         raise ValueError("repetitions must be even")
     pcm = convert_to_binary_sparse(pcm)
@@ -138,6 +146,10 @@ def _build_core(
         if str(bp_method).lower() in ("ms", "min_sum", "minimum_sum", "1")
         else bp_ops.PRODUCT_SUM
     )
+    if postprocess not in ("osd0", "lsd0"):
+        raise ValueError(
+            f"window postprocess must be 'osd0' or 'lsd0', not {postprocess}"
+        )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and sigma is None
     bp_fn = osd_fn = None
@@ -149,7 +161,8 @@ def _build_core(
             bp_fn = make_parallel_decoder_pallas(
                 graph3d, method, max_iter, ms_scaling_factor
             )
-            osd_fn = make_osd0_solver(graph3d) if osd else None
+            if osd and postprocess == "osd0":
+                osd_fn = make_osd0_solver(graph3d)
         except ValueError as exc:
             if "VMEM budget" not in str(exc):
                 raise
@@ -158,7 +171,7 @@ def _build_core(
         bp_fn = bp_ops.make_parallel_decoder(
             graph3d, method, max_iter, ms_scaling_factor
         )
-        if osd:
+        if osd and postprocess == "osd0":
             from ldpc_tpu.ops import osd as osd_ops
 
             _xla_osd = osd_ops.make_osd_decoder(
@@ -168,6 +181,19 @@ def _build_core(
             def osd_fn(syn, llr):
                 d0, _, valid = _xla_osd(syn, llr)
                 return d0, valid
+    if osd and postprocess == "lsd0":
+        from ldpc_tpu.ops import lsd as lsd_ops
+
+        _lsd = lsd_ops.make_lsd_decoder(
+            graph3d,
+            lsd_method=lsd_ops.LSD_0,
+            lsd_order=0,
+            bits_per_step=bits_per_step,
+        )
+
+        def osd_fn(syn, llr):
+            dec, valid = _lsd(syn, llr)
+            return dec, valid
 
     def window_decode(syn_flat, init_llr):
         """Decode one window: (B, m*W) round-major difference syndromes ->

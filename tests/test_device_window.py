@@ -214,3 +214,32 @@ def test_window_decoder_analog_mode():
     corr = np.asarray(decode(syn, analog).correction)
     residual = corr ^ err
     assert ((residual @ Hd.T) % 2 == 0).all(axis=1).mean() > 0.8
+
+
+def test_window_decoder_lsd_engine():
+    """The LSD-0 window engine (device-scan counterpart of the
+    reference's LSD overlapping-window decoder,
+    lsd_overlapping_window.py:11) corrects as well as the OSD-0 engine
+    on a low-noise history."""
+    H = rep_code(12)
+    W, B, R = 6, 32, 15
+    syn, err = gen_history(H, R, 0.004, 0.003, B, seed=5)
+    decode = make_window_decoder(
+        H, W, 0.004, 0.003, use_pallas=False, postprocess="lsd0"
+    )
+    corr = np.asarray(decode(syn).correction)
+    residual = corr ^ err
+    Hd = np.asarray(H.todense())
+    assert ((residual @ Hd.T) % 2 == 0).all(axis=1).mean() > 0.9
+    assert (residual == 0).all(axis=1).mean() > 0.8
+
+    # surface-code variant: committed corrections close the final round
+    Hs = surface_code(5).hx
+    syn2, err2 = gen_history(Hs, 10, 0.01, 0.01, 8, seed=7)
+    dec2 = make_window_decoder(
+        Hs, 4, 0.01, 0.01, use_pallas=False, postprocess="lsd0"
+    )
+    corr2 = np.asarray(dec2(syn2).correction)
+    Hd2 = np.asarray(Hs.todense())
+    residual2 = err2 ^ corr2
+    assert ((residual2 @ Hd2.T) % 2 == 0).all(axis=1).mean() > 0.8

@@ -206,3 +206,63 @@ def test_bplsd_zero_syndrome():
     dec = BpLsdDecoder(rep_code(5), error_rate=0.1)
     x = dec.decode(np.zeros(4, np.uint8))
     assert not x.any() and dec.converge
+
+
+def test_bplsd_stats_row_selection():
+    """`set_do_stats(True, row=k)` records statistics for batch row k
+    (beyond-reference: the reference only ever decodes one syndrome per
+    call; `statistics.stats_row` documents which row the record
+    describes)."""
+    H = rep_code(12)
+    Hd = np.asarray(H.todense(), np.uint8)
+    dec = BpLsdDecoder(
+        H, error_rate=0.1, max_iter=1, bits_per_step=1, always_run_lsd=True
+    )
+    dec.set_do_stats(True, row=2)
+    assert dec.stats_row == 2
+    errs = np.zeros((3, 12), np.uint8)
+    errs[0, 1] = 1
+    errs[1, 5] = 1
+    errs[2, 3] = 1
+    errs[2, 8] = 1
+    syn = (errs @ Hd.T % 2).astype(np.uint8)
+    out = dec.decode_batch(syn)
+    stats = dec.statistics
+    assert stats.stats_row == 2
+    assert stats["syndrome"] == list(map(int, syn[2]))
+    clusters = stats["individual_cluster_stats"]
+    assert set(clusters.keys()) == set(map(int, np.flatnonzero(syn[2])))
+    for cs in clusters.values():
+        if cs.active:
+            assert cs.solution == [int(out[2][b]) for b in cs.final_bits]
+    with pytest.raises(ValueError):
+        dec.set_do_stats(True, row=-1)
+
+
+def test_stats_json_global_history_shape():
+    """`to_json` mirrors the reference serializer's shape for
+    global_timestep_bit_history: stringified timestep keys mapping
+    stringified cluster ids to bit lists (lsd.hpp:583-599)."""
+    import json
+
+    H = rep_code(10)
+    Hd = np.asarray(H.todense(), np.uint8)
+    dec = BpLsdDecoder(
+        H, error_rate=0.1, max_iter=1, bits_per_step=1, always_run_lsd=True
+    )
+    dec.set_do_stats(True)
+    e = np.zeros(10, np.uint8)
+    e[4] = 1
+    s = (Hd @ e % 2).astype(np.uint8)
+    dec.decode(s)
+    d = json.loads(dec.statistics.to_json())
+    assert "elapsed_time_mu" in d
+    hist = d["global_timestep_bit_history"]
+    assert hist, "history must be populated"
+    for ts, per_cluster in hist.items():
+        int(ts)  # stringified int keys
+        assert isinstance(per_cluster, dict)
+        for cid, bits in per_cluster.items():
+            int(cid)
+            assert isinstance(bits, list)
+            assert all(isinstance(b, int) for b in bits)
