@@ -93,6 +93,47 @@ class BaseOverlappingWindowDecoder:
             self._decoders[decoding] = self._init_decoder(round_dcm, weights)
         return self._decoders[decoding]
 
+    def _device_scan_postprocess(self):
+        """Subclass hook: the device-scan window engine matching this
+        decoder family ('osd0' / 'lsd0'), or None to disable the scan."""
+        return None
+
+    def _maybe_device_scan(self):
+        """Compile the middle windows into one device `lax.scan` when the
+        DCM is time-translation invariant (ckt_noise/device_scan.py);
+        None keeps the pure host loop."""
+        if hasattr(self, "_device_scan"):
+            return self._device_scan
+        self._device_scan = None
+        post = self._device_scan_postprocess()
+        if post is not None:
+            from ldpc_tpu.ckt_noise.device_scan import (
+                analyze_uniform_windows,
+                make_device_owd,
+            )
+
+            uw = analyze_uniform_windows(
+                self.dcm,
+                self.decodings,
+                self.window,
+                self.commit,
+                self.num_checks,
+                self._get_weights(),
+            )
+            if uw is not None:
+                cfg = getattr(self, "decoder_config", {})
+                fn = make_device_owd(
+                    uw,
+                    self._min_weight,
+                    max_iter=cfg.get("max_iter", 30),
+                    bp_method=cfg.get("bp_method", "minimum_sum"),
+                    # match the window decoders' constructor default
+                    ms_scaling_factor=cfg.get("ms_scaling_factor", 1.0),
+                    postprocess=post,
+                )
+                self._device_scan = (uw, fn)
+        return self._device_scan
+
     # -- decoding ----------------------------------------------------------
     def decode(self, syndrome: np.ndarray) -> np.ndarray:
         """Decode one shot of detector data into observable predictions
@@ -136,39 +177,89 @@ class BaseOverlappingWindowDecoder:
     def _corr_multiple_rounds_batch(self, shots: np.ndarray) -> np.ndarray:
         """All shots of each window decode in one batched call
         (cf. the reference's per-shot loop,
-        base_overlapping_window_decoder.py:178-225)."""
+        base_overlapping_window_decoder.py:178-225). When the DCM is
+        time-translation invariant, the middle windows run as ONE device
+        `lax.scan` (ckt_noise/device_scan.py) and only the two boundary
+        windows take the host path."""
         num_shots = shots.shape[0]
         total_corr = np.zeros((num_shots, self.dcm.shape[1]), dtype=np.uint8)
         weights = self._get_weights().copy()
+        scan = self._maybe_device_scan()
+        pristine = shots.copy() if scan is not None else None
 
-        for decoding in range(self.decodings):
-            commit_inds, dec_inds, _, synd_dec_inds = current_round_inds(
-                dcm=self.dcm,
-                decoding=decoding,
-                window=self.window,
-                commit=self.commit,
-                num_checks=self.num_checks,
-            )
-            round_dcm = self.dcm[synd_dec_inds, :]
-            decoder = self._get_decoder(decoding, round_dcm, weights)
+        decoding = 0
+        while decoding < self.decodings:
+            if scan is not None and decoding == scan[0].w_lo:
+                import jax.numpy as jnp
 
-            window_shots = shots[:, synd_dec_inds].astype(np.uint8)
-            if hasattr(decoder, "decode_batch"):
-                corr = np.asarray(decoder.decode_batch(window_shots))
-            else:
-                corr = np.stack(
-                    [decoder.decode(s) for s in window_shots]
+                uw, fn = scan
+                # the scan reads the UNADJUSTED detector history and
+                # recomputes each window's committed-syndrome adjustment
+                # from the running correction
+                total_corr = np.asarray(
+                    fn(jnp.asarray(pristine), jnp.asarray(total_corr))
                 ).astype(np.uint8)
-
-            if decoding != self.decodings - 1:
-                total_corr[:, commit_inds] += corr[:, commit_inds]
-                shots[:, synd_dec_inds] ^= (
-                    (total_corr @ round_dcm.T) % 2
+                # host bookkeeping for the remaining windows: scanned
+                # commits pin their columns, and the resumed window's
+                # rows are reconstructed from pristine shots + the full
+                # running correction (exactly the value the host loop's
+                # telescoping passes would have left there)
+                for w in range(uw.w_lo, uw.w_hi):
+                    ci, _, _, _ = current_round_inds(
+                        dcm=self.dcm,
+                        decoding=w,
+                        window=self.window,
+                        commit=self.commit,
+                        num_checks=self.num_checks,
+                    )
+                    weights[ci] = self._min_weight
+                _, _, _, si = current_round_inds(
+                    dcm=self.dcm,
+                    decoding=uw.w_hi - 1,
+                    window=self.window,
+                    commit=self.commit,
+                    num_checks=self.num_checks,
+                )
+                rdcm = self.dcm[si, :]
+                shots[:, si] = pristine[:, si] ^ (
+                    (total_corr @ rdcm.T) % 2
                 ).astype(shots.dtype)
-                weights[commit_inds] = self._min_weight
-            else:
-                total_corr[:, dec_inds] += corr[:, dec_inds]
+                decoding = uw.w_hi
+                continue
+            self._host_decode_window(
+                decoding, shots, total_corr, weights
+            )
+            decoding += 1
         return total_corr
+
+    def _host_decode_window(self, decoding, shots, total_corr, weights):
+        """One window of the host loop (mutates its array arguments)."""
+        commit_inds, dec_inds, _, synd_dec_inds = current_round_inds(
+            dcm=self.dcm,
+            decoding=decoding,
+            window=self.window,
+            commit=self.commit,
+            num_checks=self.num_checks,
+        )
+        round_dcm = self.dcm[synd_dec_inds, :]
+        decoder = self._get_decoder(decoding, round_dcm, weights)
+
+        window_shots = shots[:, synd_dec_inds].astype(np.uint8)
+        if hasattr(decoder, "decode_batch"):
+            corr = np.asarray(decoder.decode_batch(window_shots))
+        else:
+            corr = np.stack(
+                [decoder.decode(s) for s in window_shots]
+            ).astype(np.uint8)
+
+        if decoding != self.decodings - 1:
+            total_corr[:, commit_inds] += corr[:, commit_inds]
+            shots[:, synd_dec_inds] ^= (
+                (total_corr @ round_dcm.T) % 2
+            ).astype(shots.dtype)
+            weights[commit_inds] = self._min_weight
+        else:
+            total_corr[:, dec_inds] += corr[:, dec_inds]
 
 
 def current_round_inds(

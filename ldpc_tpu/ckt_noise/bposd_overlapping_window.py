@@ -37,3 +37,11 @@ class BpOsdOverlappingWindowDecoder(BaseOverlappingWindowDecoder):
             error_channel=list(weights),
             **self.decoder_config,
         )
+
+    def _device_scan_postprocess(self):
+        # the device window scan supports the order-0 engines only
+        method = self.decoder_config.get("osd_method", "osd_0")
+        order = self.decoder_config.get("osd_order", 0)
+        if str(method).lower() in ("osd_0", "osd0", 0) and order == 0:
+            return "osd0"
+        return None

@@ -445,7 +445,9 @@ class BpDecoderBase:
             if two_phase
             else None
         )
-        post_fn = post_builder() if K > 0 else None
+        post_fn = (
+            post_builder() if (K > 0 and post_builder is not None) else None
+        )
         init_llr = jnp.asarray(self._init_llr())
 
         def program(packed_syn):
@@ -472,10 +474,15 @@ class BpDecoderBase:
                     sub_dec = jnp.take(dec, idx, axis=0)
                     sub_conv = jnp.take(conv_eff, idx)
                     sub_llr = jnp.take(llrs, idx, axis=0)
-                post_dec = post_fn(syn_f, sub_llr)
-                merged = jnp.where(
-                    sub_conv[:, None], sub_dec, post_dec.astype(sub_dec.dtype)
-                )
+                if post_fn is not None:
+                    post_dec = post_fn(syn_f, sub_llr)
+                    merged = jnp.where(
+                        sub_conv[:, None],
+                        sub_dec,
+                        post_dec.astype(sub_dec.dtype),
+                    )
+                else:  # plain BP: failed rows keep their BP decoding
+                    merged = sub_dec
                 out = dec.at[idx].set(merged)
             else:
                 out = dec

@@ -143,6 +143,24 @@ class BpDecoder(BpDecoderBase):
             raise ValueError(
                 f"The syndromes must have shape (batch, {self.m}). Not {syndromes.shape}."
             )
+        if self._fused_ok() and self._max_iter > self._CASCADE_ITERS:
+            # single-dispatch two-phase cascade with no postprocessor:
+            # failed rows keep their (full-depth) BP decoding, so results
+            # are identical to the plain full-batch run
+            try:
+                nonzero = syndromes.any(axis=1)
+                out, _ = self._decode_batch_fused(
+                    syndromes,
+                    nonzero,
+                    post_key="bp_only",
+                    post_builder=None,
+                    bit_packed_output=bit_packed_output,
+                )
+                return out
+            except ValueError as exc:
+                if "VMEM budget" not in str(exc):
+                    raise
+                self._fused_unavailable = True
         result = self._run_bp_batch(syndromes.astype(np.uint8))
         # ONE combined device->host pull: [packed decodings | packed
         # converged | iters u16]. On a tunneled link each pull costs

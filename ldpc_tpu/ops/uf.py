@@ -88,7 +88,16 @@ def _propagate_labels(graph: PcmGraph, in_bit, seed_checks, warm=None):
 
 
 def _grow(graph: PcmGraph, in_bit, labels, chk_invalid, llrs, bits_per_step, dtype):
-    """One growth round: boundary bits of invalid clusters join them."""
+    """One growth round: each invalid cluster admits its ``bits_per_step``
+    lowest-LLR boundary bits.
+
+    A bit bordering SEVERAL invalid clusters competes in each of them
+    independently (joining — and thereby merging — whenever it ranks in
+    any one's top ``bits_per_step``), mirroring the reference's
+    per-cluster sequential growth, where every cluster draws from its
+    own boundary list regardless of the round's other additions
+    (union_find.hpp:164-194, lsd.hpp:111-148). Identical join sets to
+    the fused engine's :func:`_grow_round_mm`."""
     n = graph.n
     var_chks = jnp.asarray(graph.var_chks)
     var_mask = jnp.asarray(graph.var_mask)
@@ -96,32 +105,53 @@ def _grow(graph: PcmGraph, in_bit, labels, chk_invalid, llrs, bits_per_step, dty
     chk_inv_pad = jnp.concatenate([chk_invalid, jnp.zeros((B, 1), bool)], axis=1)
     lab_pad = jnp.concatenate([labels, jnp.full((B, 1), _INF)], axis=1)
     nbr_inv = jnp.take(chk_inv_pad, var_chks, axis=1) & var_mask[None]
-    cand = nbr_inv.any(axis=2) & ~in_bit  # (B, n)
+    cand0 = nbr_inv.any(axis=2) & ~in_bit  # (B, n)
     if bits_per_step == 0:
-        return in_bit | cand
-    bit_lab = jnp.where(nbr_inv, jnp.take(lab_pad, var_chks, axis=1), _INF).min(
-        axis=2
-    )
-    bit_lab = jnp.where(cand, bit_lab, _INF)  # (B, n)
-    # rank boundary bits inside their cluster by LLR: sort by (label, llr)
-    sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True).astype(jnp.int32)
-    lab_by_llr = jnp.take_along_axis(bit_lab, sub, axis=1)
-    seg = jnp.argsort(lab_by_llr, axis=1, stable=True).astype(jnp.int32)
-    perm = jnp.take_along_axis(sub, seg, axis=1)  # (B, n) bit ids
-    lab_sorted = jnp.take_along_axis(bit_lab, perm, axis=1)
-    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
-    is_start = jnp.concatenate(
-        [jnp.ones((B, 1), bool), lab_sorted[:, 1:] != lab_sorted[:, :-1]], axis=1
-    )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0), axis=1
-    )
-    rank = pos - seg_start
-    take = (rank < bits_per_step) & (lab_sorted < _INF)
-    grow_mask = (
-        jnp.zeros((B, n), bool).at[jnp.arange(B)[:, None], perm].max(take)
-    )
-    return in_bit | grow_mask
+        return in_bit | cand0
+    dv = graph.dv
+    E2 = n * dv
+    bidx = jnp.arange(B)[:, None]
+    # expanded (bit, slot) pairs so a bit competes in EVERY adjacent
+    # invalid cluster; each cluster's full candidate set lives in one
+    # label group of the expanded sort
+    lab_e0 = jnp.where(
+        nbr_inv, jnp.take(lab_pad, var_chks, axis=1), _INF
+    ).reshape(B, E2)
+    bit_of_e = jnp.repeat(jnp.arange(n, dtype=jnp.int32), dv)  # (E2,)
+    llr_e = jnp.repeat(llrs.astype(dtype), dv, axis=1)  # (B, E2)
+    sub = jnp.argsort(llr_e, axis=1, stable=True).astype(jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(E2, dtype=jnp.int32)[None, :], (B, E2))
+    grown = in_bit
+    # one bit per cluster per sub-round, exactly like the fused engine's
+    # iterated min-key pick (the candidate pool shrinks as other
+    # clusters' picks land)
+    for _ in range(bits_per_step):
+        cand_e = jnp.repeat(cand0 & ~grown, dv, axis=1)
+        lab_e = jnp.where(cand_e, lab_e0, _INF)
+        lab_by_llr = jnp.take_along_axis(lab_e, sub, axis=1)
+        seg = jnp.argsort(lab_by_llr, axis=1, stable=True).astype(jnp.int32)
+        perm = jnp.take_along_axis(sub, seg, axis=1)  # (B, E2) pair ids
+        lab_sorted = jnp.take_along_axis(lab_e, perm, axis=1)
+        is_start = jnp.concatenate(
+            [
+                jnp.ones((B, 1), bool),
+                lab_sorted[:, 1:] != lab_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pos, 0), axis=1
+        )
+        rank = pos - seg_start
+        take = (rank < 1) & (lab_sorted < _INF)
+        win_bits = jnp.where(take, bit_of_e[perm], n)
+        grown = (
+            jnp.zeros((B, n + 1), bool)
+            .at[bidx, win_bits]
+            .max(take)[:, :n]
+            | grown
+        )
+    return grown
 
 
 # ----------------------------------------------------------------------

@@ -277,3 +277,61 @@ def test_legacy_sim_deprecation_warnings():
         warnings.simplefilter("always")
         get_stabilizer_time_steps(H)
     assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+
+
+# ----------------------------------------------------------------------
+# device-scan overlapping windows (ckt_noise/device_scan.py)
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "cls", [BpOsdOverlappingWindowDecoder, LsdOverlappingWindowDecoder]
+)
+def test_device_scan_owd_matches_host_loop(cls):
+    """On a time-translation-invariant DEM the middle windows compile
+    into one device scan; predictions must equal the pure host loop's."""
+    dem = rep_code_memory_dem(n_checks=3, rounds=14)
+    kwargs = dict(
+        decodings=6,
+        window=4,
+        commit=2,
+        num_checks=3,
+        decoder_config={"max_iter": 20},
+    )
+    dec = cls(dem, **kwargs)
+    scan = dec._maybe_device_scan()
+    assert scan is not None, "uniform windows not detected"
+    assert scan[0].w_lo == 1 and scan[0].w_hi == 5
+
+    host = cls(dem, **kwargs)
+    host._device_scan = None  # force the pure host loop
+
+    m = detector_error_model_to_check_matrices(
+        dem, allow_undecomposed_hyperedges=True
+    )
+    Hd = np.asarray(m.check_matrix.todense(), np.uint8)
+    rng = np.random.default_rng(9)
+    errs = (rng.random((24, Hd.shape[1])) < 0.03).astype(np.uint8)
+    shots = ((errs @ Hd.T) % 2).astype(np.uint8)
+    pred_scan = dec.decode_batch(shots.copy())
+    pred_host = host.decode_batch(shots.copy())
+    assert np.array_equal(pred_scan % 2, pred_host % 2)
+
+    # weight-1 mechanisms predict their own observables exactly
+    Od = np.asarray(m.observables_matrix.todense(), np.uint8)
+    wrong = 0
+    for e_idx in range(0, Hd.shape[1], 3):
+        e = np.zeros(Hd.shape[1], np.uint8)
+        e[e_idx] = 1
+        shot = (Hd @ e) % 2
+        pred = dec.decode(shot)
+        wrong += int(not np.array_equal(pred % 2, (Od @ e) % 2))
+    assert wrong == 0
+
+
+def test_device_scan_rejects_irregular():
+    """A DEM whose windows are not shift-invariant keeps the host loop."""
+    dem = rep_code_memory_dem(n_checks=2, rounds=6)
+    dec = BpOsdOverlappingWindowDecoder(
+        dem, decodings=2, window=4, commit=2, num_checks=2,
+        decoder_config={"max_iter": 10},
+    )
+    assert dec._maybe_device_scan() is None  # too few windows
