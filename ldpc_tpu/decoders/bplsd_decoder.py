@@ -225,8 +225,7 @@ class BpLsdDecoder(BpDecoderBase):
             self._decoding = out[0]
         else:
             fused = None
-            order0 = self._lsd_order == 0 or self._lsd_method == lsd_ops.LSD_0
-            if self._fused_ok() and order0:
+            if self._fused_ok():
                 # single-dispatch fused cascade (base.py): ONE D2H pull
                 try:
                     fn = self._lsd_decode_fn()

@@ -61,6 +61,7 @@ class RrefResult(NamedTuple):
     transform: jnp.ndarray  # (B, m, Wm) uint32, packed row transform T
     synd_red: jnp.ndarray  # (B, m) uint8, T @ syndrome (solution bits per row)
     valid: jnp.ndarray  # (B,) bool, syndrome in image
+    reduced: jnp.ndarray  # (B, m, n) uint8 reduced matrix (with_reduced only)
 
 
 def batched_rref(
@@ -68,6 +69,7 @@ def batched_rref(
     syndrome: jnp.ndarray,
     with_transform: bool = True,
     fast_exit: bool = False,
+    with_reduced: bool = False,
 ) -> RrefResult:
     """Gauss-Jordan reduce a batch of column-permuted GF(2) systems.
 
@@ -78,6 +80,9 @@ def batched_rref(
       with_transform: also carry the m x m row-transform block (needed for
         re-solving against shifted syndromes, e.g. OSD-w candidates); skip
         it for plain solves — a third less elimination traffic.
+      with_reduced: also return the reduced matrix bits (T @ H_perm);
+        free (already computed) — candidate sweeps read shifted-syndrome
+        solutions straight off it, so no m x m transform is needed.
       fast_exit: stop an element's participation once its syndrome is
         fully reduced (the reference's fast_solve,
         gf2sparse_linalg.hpp:298-401). ``x0``, ``valid`` and the
@@ -156,6 +161,9 @@ def batched_rref(
         transform = pack_u32(all_bits[:, :, n + 1 :])  # (B, m, Wm)
     else:
         transform = jnp.zeros((B, m, 1), jnp.uint32)
+    reduced = (
+        all_bits[:, :, :n] if with_reduced else jnp.zeros((B, 1, 1), jnp.uint8)
+    )
     # solution: x[col] = reduced syndrome bit at that column's pivot row
     synd_pad = jnp.concatenate([synd_red, jnp.zeros((B, 1), jnp.uint8)], axis=1)
     x0 = jnp.where(
@@ -173,6 +181,7 @@ def batched_rref(
         transform=transform,
         synd_red=synd_red,
         valid=valid,
+        reduced=reduced,
     )
 
 

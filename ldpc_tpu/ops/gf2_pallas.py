@@ -442,6 +442,195 @@ def _rref_export_kernel(
     used_ref[:] = bc(used * one, jnp.int32).astype(jnp.float32)
 
 
+def _masked_export_kernel(
+    order_ref,
+    count_ref,
+    s_ref,
+    H_ref,
+    M_out_ref,
+    colrow_ref,
+    used_ref,
+    M_ref,
+    *,
+    m,
+    n,
+    m8,
+    Wp,
+):
+    """Column-masked Gauss-Jordan (lane ``l`` eliminates its first
+    ``count[l]`` columns of ``order``) with full state export — the
+    cluster decoders' masked solve (lsd.hpp:743-760) fused with the
+    reduced-matrix export the order-w candidate sweeps consume."""
+    TB = s_ref.shape[1]
+    u32 = jnp.uint32
+    one = jnp.uint32(1)
+    ws, bs = n // 32, jnp.uint32(n % 32)
+
+    for w in range(Wp):
+        Hw = H_ref[w * m8 : (w + 1) * m8, 0:1]
+        M_ref[w] = jnp.broadcast_to(Hw, (m8, TB))
+    M_ref[ws] = M_ref[ws] | (s_ref[:] << bs)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m8, TB), 0)
+    count = count_ref[0:1, :]
+    maxcnt = jnp.max(count)
+    bc = jax.lax.bitcast_convert_type
+    zrow = (s_ref[0:1, :] * jnp.uint32(0)).astype(jnp.int32)
+
+    def body(state):
+        j, jvec, used, col_of_row = state
+        active = (jvec < count).astype(u32)
+        ordw = order_ref[pl.ds(j, 1), :].astype(jnp.int32)
+        word = ordw >> 5
+        bit = (ordw & 31).astype(u32)
+        col = s_ref[:] * jnp.uint32(0)
+        for w in range(Wp):
+            hit = (word == w).astype(u32)
+            col = col | (((M_ref[w] >> bit) & one) * hit)
+        cand = col * (one - used) * active
+        score = jnp.where(cand > 0, rows, m8)
+        piv = jnp.min(score, axis=0, keepdims=True)
+        has = (piv < m8).astype(u32)
+        is_piv = ((rows == piv) & (cand > 0)).astype(u32)
+        elim = col * (one - is_piv) * has * active
+        for w in range(Wp):
+            Mw = M_ref[w]
+            pv_w = bc(
+                jnp.sum(
+                    bc(Mw * is_piv, jnp.int32),
+                    axis=0,
+                    keepdims=True,
+                    dtype=jnp.int32,
+                ),
+                u32,
+            )
+            M_ref[w] = Mw ^ (pv_w * elim)
+        col_of_row = jnp.where(is_piv > 0, ordw, col_of_row)
+        used = used | is_piv
+        return (j + 1, jvec + 1, used, col_of_row)
+
+    def cond(state):
+        j = state[0]
+        return (j < n) & (j < maxcnt)
+
+    state0 = (jnp.int32(0), zrow, s_ref[:] * jnp.uint32(0), rows * 0 + n)
+    _, _, used, col_of_row = jax.lax.while_loop(cond, body, state0)
+
+    for w in range(Wp):
+        M_out_ref[w] = M_ref[w]
+    colrow_ref[:] = jnp.where(used > 0, col_of_row, n)
+    used_ref[:] = bc(used * one, jnp.int32).astype(jnp.float32)
+
+
+def make_masked_export_solver(
+    graph: PcmGraph, tile_b: int = 256, interpret: bool = False
+):
+    """Masked (per-lane column subset) GF(2) solve with reduced-matrix
+    export, for the LSD order-w machinery.
+
+    Returns ``solve(syndromes: (B, m) uint8, order: (B, n) int32,
+    count: (B,) int32) -> (R: (B, m, n) uint8 reduced matrix in ORIGINAL
+    column coords, synd_red: (B, m) uint8, col_of_row: (B, m) int32
+    (pivot column of each used row, n if none), used: (B, m) bool)``.
+    """
+    from ldpc_tpu.ops import gf2
+
+    m, n = graph.m, graph.n
+    m8 = _round_up(m, 8)
+    Wp = -(-(n + 1) // 32)
+    per_lane = (2 * Wp * m8 + 5 * m8 + n) * 4
+    h_const = Wp * m8 * 128 * 4
+    budget = 12 * 1024 * 1024
+    while tile_b > 128 and h_const + per_lane * tile_b > budget:
+        tile_b //= 2
+    if h_const + per_lane * tile_b > budget:
+        raise ValueError(
+            "code too large for the masked-export VMEM budget; "
+            "use the XLA engine"
+        )
+
+    Hbits = np.zeros((m8, Wp * 32), np.uint8)
+    Hbits[:m, :n] = graph.dense
+    words = (
+        (Hbits.reshape(m8, Wp, 32) << np.arange(32, dtype=np.uint32))
+        .sum(axis=2)
+        .astype(np.uint32)
+    )
+    H_host = np.zeros((Wp * m8, 128), np.uint32)
+    for w in range(Wp):
+        H_host[w * m8 : (w + 1) * m8, :] = words[:, w : w + 1]
+    H_d = jnp.asarray(H_host)
+
+    kernel = functools.partial(
+        _masked_export_kernel, m=m, n=n, m8=m8, Wp=Wp
+    )
+
+    def run(order_t, count_t, s_t, TB):
+        B = s_t.shape[1]
+        grid = (B // TB,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (Wp * m8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (Wp, m8, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((m8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m8, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Wp, m8, B), jnp.uint32),
+                jax.ShapeDtypeStruct((m8, B), jnp.int32),
+                jax.ShapeDtypeStruct((m8, B), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((Wp, m8, TB), jnp.uint32)],
+            interpret=interpret,
+        )(order_t, count_t, s_t, H_d)
+
+    def solve(syndromes: jnp.ndarray, order: jnp.ndarray, count: jnp.ndarray):
+        B0 = syndromes.shape[0]
+        if B0 >= tile_b:
+            B, TB = _round_up(B0, tile_b), tile_b
+        else:
+            B = TB = max(128, _round_up(B0, 128))
+        if B != B0:
+            syndromes = jnp.concatenate(
+                [syndromes, jnp.zeros((B - B0, m), syndromes.dtype)]
+            )
+            order = jnp.concatenate(
+                [
+                    order,
+                    jnp.broadcast_to(
+                        jnp.arange(n, dtype=order.dtype)[None], (B - B0, n)
+                    ),
+                ]
+            )
+            count = jnp.concatenate([count, jnp.zeros(B - B0, count.dtype)])
+        count_t = jnp.broadcast_to(count.astype(jnp.int32)[None, :], (8, B))
+        s_t = jnp.zeros((m8, B), jnp.uint32).at[:m].set(
+            syndromes.T.astype(jnp.uint32)
+        )
+        Mw, colrow, used = run(order.T, count_t, s_t, TB)
+        Mb = Mw[:, :m, :B0].transpose(2, 1, 0)  # (B0, m, Wp)
+        all_bits = gf2.unpack_u32(Mb, n + 1)
+        return (
+            all_bits[:, :, :n],
+            all_bits[:, :, n],
+            colrow[:m, :B0].T,
+            used[:m, :B0].T > 0.5,
+        )
+
+    return jax.jit(solve)
+
+
 def make_rref_export_solver(
     graph: PcmGraph, tile_b: int = 256, interpret: bool = False
 ):

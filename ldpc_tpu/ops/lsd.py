@@ -99,6 +99,17 @@ def make_lsd_decoder(
     )
 
     fast_solver = make_masked_solver_or_none(graph, dtype) if order0 else None
+    fast_solver_w = (
+        None if order0 else make_masked_solver_or_none(graph, dtype)
+    )
+    export_solver = None
+    if fast_solver_w is not None:
+        try:
+            from ldpc_tpu.ops.gf2_pallas import make_masked_export_solver
+
+            export_solver = make_masked_export_solver(graph)
+        except ValueError:
+            export_solver = None
 
     def bit_labels(labels, in_bit):
         """Cluster label of each in-cluster column (min over its active
@@ -164,25 +175,92 @@ def make_lsd_decoder(
             )
             return x0, valid
 
-        in_bit, res, order = grow_until_valid(
-            graph, syndromes, llrs, bits_per_step, dtype
-        )
-        if order0:
-            decoding = (
-                jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(res.x0)
+        inf_d = jnp.array(np.inf, dtype)
+        row_iota = jnp.arange(m, dtype=jnp.int32)
+
+        def msolve(in_bit, with_reduced=False):
+            """Masked solve with everything in ORIGINAL column coords:
+            (ispiv (B,n), synd_red (B,m), used (B,m), valid (B,),
+            Rt (B,n+1,m) or None, prc (B,n) pivot row per column)."""
+            if export_solver is not None:
+                key = jnp.where(in_bit, llrs.astype(dtype), inf_d)
+                order_ = jnp.argsort(key, axis=1, stable=True).astype(
+                    jnp.int32
+                )
+                count = in_bit.sum(axis=1).astype(jnp.int32)
+                R, synd_red, col_of_row, used = export_solver(
+                    syndromes, order_, count
+                )
+                cr = jnp.minimum(col_of_row, n)
+                ispiv = (
+                    jnp.zeros((B, n + 1), bool).at[bidx, cr].max(used)
+                )[:, :n]
+                prc = (
+                    jnp.full((B, n + 1), m, jnp.int32)
+                    .at[bidx, cr]
+                    .set(jnp.where(used, row_iota[None, :], m))
+                )[:, :n]
+                Rt = (
+                    jnp.concatenate(
+                        [
+                            R.transpose(0, 2, 1),
+                            jnp.zeros((B, 1, m), jnp.uint8),
+                        ],
+                        axis=1,
+                    )
+                    if with_reduced
+                    else None
+                )
+                valid = ~((synd_red == 1) & ~used).any(axis=1)
+                return ispiv, synd_red, used, valid, Rt, prc
+            res, order_ = masked_solve(
+                graph, in_bit, syndromes, llrs, dtype,
+                with_reduced=with_reduced,
             )
-            return decoding, res.valid
+            ispiv = (
+                jnp.zeros((B, n), bool).at[bidx, order_].set(res.is_pivot)
+            )
+            prc = (
+                jnp.full((B, n), m, jnp.int32)
+                .at[bidx, order_]
+                .set(res.piv_row_of_col)
+            )
+            Rt = (
+                jnp.zeros((B, n + 1, m), jnp.uint8)
+                .at[bidx, order_]
+                .set(res.reduced.transpose(0, 2, 1))
+                if with_reduced
+                else None
+            )
+            return ispiv, res.synd_red, res.row_used, res.valid, Rt, prc
+
+        if fast_solver_w is not None:
+            # fused growth (identical states to the XLA loop — the two
+            # engines' per-round join sets are equivalent)
+            in_bit, _, _ = grow_until_valid_fast(
+                graph, syndromes, llrs, bits_per_step, dtype, fast_solver_w
+            )
+            ispiv_orig, *_ = msolve(in_bit)
+        else:
+            in_bit, res, order = grow_until_valid(
+                graph, syndromes, llrs, bits_per_step, dtype
+            )
+            if order0:
+                decoding = (
+                    jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(res.x0)
+                )
+                return decoding, res.valid
+            ispiv_orig = (
+                jnp.zeros((B, n), bool).at[bidx, order].set(res.is_pivot)
+            )
 
         # ---- grow every cluster until its nullity reaches lsd_order
         # (lsd.hpp:792-810; bounded to lsd_order extra single-bit rounds)
         def dim_round(t, state):
-            in_bit, res, order = state
+            in_bit, ispiv = state
             labels, _ = _propagate_labels(graph, in_bit, seed_checks)
             collab = bit_labels(labels, in_bit)
-            ispiv_orig = (
-                jnp.zeros((B, n), bool).at[bidx, order].set(res.is_pivot)
-            )
-            nonpiv_in = in_bit & ~ispiv_orig
+            nonpiv_in = in_bit & ~ispiv
             lab_clip = jnp.minimum(jnp.where(nonpiv_in, collab, _INF), m)
             nullity = (
                 jnp.zeros((B, m + 1), jnp.int32)
@@ -194,20 +272,21 @@ def make_lsd_decoder(
                 & (labels < _INF)
             )
             new_in = _grow(graph, in_bit, labels, needs, llrs, 1, dtype)
-            res2, order2 = masked_solve(graph, new_in, syndromes, llrs, dtype)
-            return new_in, res2, order2
+            ispiv2, *_ = msolve(new_in)
+            return new_in, ispiv2
 
-        in_bit, res, order = jax.lax.fori_loop(
-            0, W, dim_round, (in_bit, res, order)
+        in_bit, _ = jax.lax.fori_loop(
+            0, W, dim_round, (in_bit, ispiv_orig)
         )
-        # final solve carries the row transform for the candidate sweep
-        res, order = masked_solve(
-            graph, in_bit, syndromes, llrs, dtype, with_transform=True
+        # final solve carries the REDUCED matrix for the candidate sweep
+        # (candidate solutions read off as y = Ts ^ XOR of reduced
+        # columns — no m x m row transform is ever formed)
+        ispiv_orig, synd_red, row_used, valid_out, Rt_orig, prc_orig = (
+            msolve(in_bit, with_reduced=True)
         )
 
         labels, _ = _propagate_labels(graph, in_bit, seed_checks)
         collab = bit_labels(labels, in_bit)
-        ispiv_orig = jnp.zeros((B, n), bool).at[bidx, order].set(res.is_pivot)
         nonpiv_in = in_bit & ~ispiv_orig
         rank, colof = nonpivot_rank(collab, nonpiv_in, llrs)
 
@@ -215,9 +294,9 @@ def make_lsd_decoder(
         # per-candidate: original column set (<= W cols), cluster label,
         # enumeration index within its cluster (tie-break order:
         # baseline=0 < singles by rank < slot patterns)
-        T_dense = gf2.unpack_u32(res.transform, m)  # (B, m, m) uint8
-        xp0 = res.x0  # (B, n) baseline pivot solution (permuted coords)
-        base_score = xp0.sum(axis=1).astype(jnp.int32)  # (B,)
+        base_score = (
+            (synd_red * row_used).sum(axis=1).astype(jnp.int32)
+        )  # (B,) baseline pivot-solution weight
 
         cand_cols = []  # list of (B, C_i, W) int32 blocks (pad col = n)
         cand_label = []  # (B, C_i)
@@ -269,38 +348,29 @@ def make_lsd_decoder(
         C = cols.shape[1]
         valid_cand = labs < _INF
 
-        # ---- evaluate all candidates in one MXU pass ------------------
-        # t_q = s ^ XOR of H columns in the candidate set
-        delta = jnp.zeros((B, C, m), jnp.int32)
+        # ---- evaluate all candidates in one pass ----------------------
+        # y_q = Ts ^ XOR of the candidate's REDUCED columns (block
+        # diagonality keeps each column's support inside its cluster);
+        # candidate score = global pivot-solution Hamming weight
+        # (osd_dense.hpp:106-113) = sum over used rows of y_q
+        ybits = jnp.broadcast_to(
+            synd_red[:, None, :], (B, C, m)
+        )  # (B, C, m)
         for w in range(W):
-            delta = delta + H_pad.T[cols[:, :, w]].astype(jnp.int32)
-        t = (syndromes[:, :, None].astype(jnp.int32) + delta.transpose(0, 2, 1)) % 2
-        # y = T @ t per batch element: (B, m, m) x (B, m, C) on the MXU.
-        # f32 operands — integer einsums don't ride the TPU MXU; 0/1 row
-        # sums are <= m < 2^24, exact in f32
-        yf = jnp.einsum(
-            "bij,bjc->bic",
-            T_dense.astype(jnp.float32),
-            t.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            dsel = jnp.take_along_axis(
+                Rt_orig, cols[:, :, w][:, :, None], axis=1
+            )  # (B, C, m): the w-th candidate column of every candidate
+            ybits = ybits ^ dsel
+        used_f = row_used.astype(jnp.float32)  # (B, m)
+        score = (
+            jnp.einsum(
+                "bm,bcm->bc",
+                used_f,
+                ybits.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            + sizes
         )
-        y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.int32)  # (B, m, C)
-        # pivot solution per candidate, permuted coords: (B, C, n).
-        # xp[b,c,i] = y[b, piv_row_of_col[b,i], c] as a one-hot MXU
-        # contraction — a (B, C, n) take_along_axis lowers to scalar
-        # dynamic slices on TPU (hundreds of ms at realistic buckets).
-        # Non-pivot columns have piv_row == m -> zero one-hot row -> 0.
-        sel = (
-            res.piv_row_of_col[:, :, None]
-            == jnp.arange(m, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.float32)  # (B, n, m)
-        xp = jnp.einsum(
-            "bjc,bij->bci",
-            y.astype(jnp.float32),
-            sel,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        score = xp.sum(axis=2).astype(jnp.int32) + sizes  # (B, C)
         score = jnp.where(valid_cand, score, jnp.int32(2**28))
 
         # ---- per-cluster winner (segment argmin, ties -> lower enum) ---
@@ -316,8 +386,6 @@ def make_lsd_decoder(
         win_enum = jnp.where(improved, best % STRIDE, 0)
 
         # ---- compose the global solution -------------------------------
-        # pivot part: for each permuted column, take xp of its cluster's
-        # winning candidate (baseline xp0 when enum 0)
         is_winner = valid_cand & (
             win_enum[bidx, lab_clip] == jnp.minimum(enums, STRIDE - 1)
         ) & improved[bidx, lab_clip]
@@ -330,20 +398,8 @@ def make_lsd_decoder(
                 C,
             )
         )
-        labperm = jnp.take_along_axis(
-            jnp.minimum(collab, m), order, axis=1
-        )  # (B, n) cluster of each permuted column (m if none)
-        slot_of_col = jnp.where(
-            labperm < m, win_slot[bidx, labperm], C
-        )  # (B, n), C = baseline
-        xp_ext = jnp.concatenate(
-            [xp.astype(jnp.uint8), xp0[:, None, :]], axis=1
-        )  # (B, C+1, n)
-        x_perm = jnp.take_along_axis(
-            xp_ext, slot_of_col[:, None, :], axis=1
-        )[:, 0, :]
-        decoding = jnp.zeros((B, n), jnp.uint8).at[bidx, order].set(x_perm)
-        # non-pivot part: flip each cluster winner's candidate columns
+        # flip vector: each improved cluster's winning candidate columns
+        # (clusters at the baseline contribute nothing)
         flip = jnp.zeros((B, n + 1), jnp.uint8)
         for w in range(W):
             wc = jnp.take_along_axis(
@@ -354,7 +410,24 @@ def make_lsd_decoder(
                 axis=1,
             )  # (B, m+1): the w-th flipped column of each cluster's winner
             flip = flip.at[bidx, wc].set(1)
-        decoding = decoding | flip[:, :n]
-        return decoding, res.valid
+        # combined pivot solution: y* = Ts ^ R @ flip — per-cluster
+        # winners compose because reduced columns stay inside their
+        # cluster's rows (block diagonality)
+        ystar = synd_red.astype(jnp.float32) + jnp.einsum(
+            "bn,bnm->bm",
+            flip[:, :n].astype(jnp.float32),
+            Rt_orig[:, :n, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        ystar = ystar - 2.0 * jnp.floor(ystar * 0.5)  # (B, m)
+        # readout: x[j] = y*[pivot row of column j] (original coords)
+        sel = (
+            prc_orig[:, :, None] == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)  # (B, n, m); non-pivots -> zero row
+        x_piv = jnp.einsum(
+            "bm,bnm->bn", ystar, sel, preferred_element_type=jnp.float32
+        ).astype(jnp.uint8)
+        decoding = x_piv | flip[:, :n]
+        return decoding, valid_out
 
     return jax.jit(decode)

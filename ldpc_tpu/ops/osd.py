@@ -275,7 +275,8 @@ def make_osd_decoder(
         res = gf2.batched_rref(
             H_perm,
             syndromes.astype(jnp.uint8),
-            with_transform=not order0,
+            with_transform=False,
+            with_reduced=not order0,
             # OSD-0 only consumes x0/valid, so the per-element fast-solve
             # exit (reference fast_solve semantics) is safe and skips the
             # long rank-completion tail of the elimination
@@ -291,29 +292,26 @@ def make_osd_decoder(
         # pivot mask puts the k False entries first in position order)
         np_pos = jnp.argsort(res.is_pivot, axis=1, stable=True)[:, :k]
         np_orig = jnp.take_along_axis(order, np_pos, axis=1)  # (B, k)
-        H_np = jnp.take(H_dev, np_orig, axis=1).transpose(1, 0, 2)  # (B, m, k)
-        # all shifted syndromes in one MXU pass: t = s ^ H_np @ c
-        # (f32 matmul + mod 2 — sums are <= k < 2^24, exact in f32, and
-        # integer einsums don't ride the TPU MXU)
-        td = jnp.einsum(
+        # candidate solutions read straight off the REDUCED matrix:
+        # y_c = Ts ^ XOR of reduced non-pivot columns selected by c —
+        # no m x m row transform is ever formed (select + contract as
+        # one-hot MXU matmuls; 0/1 sums < 2^24, exact in f32)
+        oh_np = (
+            np_pos[:, :, None] == jnp.arange(n, dtype=np_pos.dtype)[None, None, :]
+        ).astype(jnp.float32)  # (B, k, n)
+        R_np = jnp.einsum(
+            "bkn,bmn->bmk",
+            oh_np,
+            res.reduced.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # (B, m, k)
+        yd = jnp.einsum(
             "ck,bmk->bcm",
             cands.astype(jnp.float32),
-            H_np.astype(jnp.float32),
+            R_np,
             preferred_element_type=jnp.float32,
         )
-        t_delta = (td - 2.0 * jnp.floor(td * 0.5)).astype(jnp.uint8)
-        t = syndromes[:, None, :].astype(jnp.uint8) ^ t_delta  # (B, C, m)
-        # y = (T @ t) % 2 on the MXU: the packed-word popcount route
-        # materialises (B, C, m, Wm) intermediates — ~GBs of HBM traffic
-        # at bucket sizes — while the dense f32 contraction is exact
-        # (row sums <= m < 2^24) and two orders of magnitude cheaper
-        T_bits = gf2.unpack_u32(res.transform, m).astype(jnp.float32)
-        yf = jnp.einsum(
-            "bij,bcj->bci",
-            T_bits,
-            t.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+        yf = res.synd_red[:, None, :].astype(jnp.float32) + yd
         y = (yf - 2.0 * jnp.floor(yf * 0.5)).astype(jnp.uint8)  # (B, C, m)
         # pivot-coordinate solutions per candidate. xp[b,c,i] =
         # y[b,c,piv_row_of_col[b,i]] — as a one-hot MXU contraction, NOT

@@ -164,6 +164,7 @@ def masked_solve(
     llrs,
     dtype=jnp.float32,
     with_transform: bool = False,
+    with_reduced: bool = False,
 ):
     """Gauss-Jordan of the column-masked PCM in ascending-LLR order
     (pivots land on the most error-likely bits, mirroring the
@@ -177,7 +178,12 @@ def masked_solve(
     H_perm = jnp.take(H_dev, order, axis=1).transpose(1, 0, 2)  # (B, m, n)
     colmask = jnp.take_along_axis(in_bit, order, axis=1)
     H_perm = H_perm * colmask[:, None, :].astype(jnp.uint8)
-    res = gf2.batched_rref(H_perm, syndromes, with_transform=with_transform)
+    res = gf2.batched_rref(
+        H_perm,
+        syndromes,
+        with_transform=with_transform,
+        with_reduced=with_reduced,
+    )
     return res, order
 
 
