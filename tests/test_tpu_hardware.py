@@ -229,3 +229,109 @@ def test_device_window_scan_valid():
     # syndrome for almost every lane (same bar as test_device_window)
     residual = err ^ corr
     assert ((residual @ H.T) % 2 == 0).all(axis=1).mean() > 0.9
+
+
+def test_masked_export_matches_xla(workload):
+    """The masked-export kernel's reduced matrix / pivot bookkeeping vs
+    the XLA masked solve, on-chip."""
+    from ldpc_tpu.ops import uf
+    from ldpc_tpu.ops.gf2_pallas import make_masked_export_solver
+
+    code, H, graph, syndromes, llrs = workload
+    n = H.shape[1]
+    B = 256
+    syn = jnp.asarray(syndromes[:B])
+    llr = jnp.asarray(llrs[:B])
+    rng = np.random.default_rng(3)
+    in_bit = jnp.asarray(rng.random((B, n)) < 0.15)
+    solver = make_masked_export_solver(graph)
+    key = jnp.where(in_bit, llr, jnp.inf)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    count = in_bit.sum(axis=1).astype(jnp.int32)
+    R, synd_red, col_of_row, used = solver(syn, order, count)
+    res, order_x = uf.masked_solve(
+        graph, in_bit, syn, llr, jnp.float32, with_reduced=True
+    )
+    assert (np.asarray(synd_red) == np.asarray(res.synd_red)).all()
+    assert (np.asarray(used) == np.asarray(res.row_used)).all()
+    # reduced matrices agree on the IN-CLUSTER columns after unpermuting
+    # the XLA one (out-of-cluster columns differ by design: the XLA path
+    # zero-masks them while the kernel carries T @ H there; no consumer
+    # reads them)
+    bidx = np.arange(B)[:, None]
+    R_x = np.zeros((B, H.shape[0], n + 1), np.uint8)
+    R_x[bidx[:, :, None], np.arange(H.shape[0])[None, :, None],
+        np.asarray(order_x)[:, None, :]] = np.asarray(res.reduced)
+    inb = np.asarray(in_bit)[:, None, :]
+    assert (np.where(inb, np.asarray(R), 0) == np.where(
+        inb, R_x[:, :, :n], 0
+    )).all()
+
+
+def test_lsd_order_w_fused_valid(workload):
+    """LSD-CS order-2 through the fused cascade on-chip: valid
+    decodings, and agreement with the forced generic path on converged
+    rows."""
+    from ldpc_tpu import BpLsdDecoder
+
+    code, H, graph, syndromes, llrs = workload
+    kw = dict(
+        error_rate=0.01,
+        max_iter=20,
+        bp_method="minimum_sum",
+        ms_scaling_factor=0.625,
+        lsd_method="lsd_cs",
+        lsd_order=2,
+    )
+    dec = BpLsdDecoder(code.hx, **kw)
+    out = np.asarray(dec.decode_batch(syndromes))
+    assert ((out @ H.T) % 2 == syndromes).all()
+    plain = BpLsdDecoder(code.hx, **kw)
+    plain._fused_unavailable = True
+    out_p = np.asarray(plain.decode_batch(syndromes[:256]))
+    assert ((out_p @ H.T) % 2 == syndromes[:256]).all()
+    conv = np.asarray(dec.converge_batch)[:256] & np.asarray(
+        plain.converge_batch
+    )
+    assert (out[:256][conv] == out_p[conv]).all()
+
+
+def test_device_owd_scan_on_chip():
+    """The DEM overlapping-window device scan produces host-loop-equal
+    predictions on the real chip."""
+    import sys
+
+    sys.path.insert(0, os_path_tests())
+    from test_ckt_noise import rep_code_memory_dem
+
+    from ldpc_tpu.ckt_noise import BpOsdOverlappingWindowDecoder
+    from ldpc_tpu.ckt_noise.dem_matrices import (
+        detector_error_model_to_check_matrices,
+    )
+
+    dem = rep_code_memory_dem(n_checks=3, rounds=14)
+    kwargs = dict(
+        decodings=6, window=4, commit=2, num_checks=3,
+        decoder_config={"max_iter": 20},
+    )
+    dec = BpOsdOverlappingWindowDecoder(dem, **kwargs)
+    assert dec._maybe_device_scan() is not None
+    host = BpOsdOverlappingWindowDecoder(dem, **kwargs)
+    host._device_scan = None
+    m = detector_error_model_to_check_matrices(
+        dem, allow_undecomposed_hyperedges=True
+    )
+    Hd = np.asarray(m.check_matrix.todense(), np.uint8)
+    rng = np.random.default_rng(11)
+    errs = (rng.random((32, Hd.shape[1])) < 0.03).astype(np.uint8)
+    shots = ((errs @ Hd.T) % 2).astype(np.uint8)
+    assert np.array_equal(
+        dec.decode_batch(shots.copy()) % 2,
+        host.decode_batch(shots.copy()) % 2,
+    )
+
+
+def os_path_tests():
+    import os
+
+    return os.path.dirname(os.path.abspath(__file__))
