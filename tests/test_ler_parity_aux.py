@@ -161,3 +161,74 @@ def test_mbp_parity():
     assert ref.shape == ours.shape
     agree = (ref == ours).all(axis=1).mean()
     assert agree > 0.95, f"mbp decision agreement {agree}"
+
+
+def test_belief_find_peeling_parity_ler():
+    """BP + union-find PEELING vs the compiled reference's uf-peel
+    composition (union_find.hpp:431-480): logical error rates agree
+    within Monte-Carlo error (forest choice differs — any spanning
+    forest's tree solution is an equally valid correction)."""
+    code = surface_code(7, compute_logicals=True)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    lx = np.asarray(code.lx.todense(), np.uint8)
+    m, n = H.shape
+    rng = np.random.default_rng(21)
+    B = 512
+    errors = (rng.random((B, n)) < 0.04).astype(np.uint8)
+    syndromes = (errors @ H.T % 2).astype(np.uint8)
+
+    stdin = rb.make_input(H, [0.04] * n, syndromes)
+    _, ref = rb.run(
+        stdin, max_iter=12, ms_factor=0.625, decoder="uf-peel", dump=True
+    )
+    from ldpc_tpu import BeliefFindDecoder
+
+    dec = BeliefFindDecoder(
+        code.hx,
+        error_rate=0.04,
+        max_iter=12,
+        bp_method="minimum_sum",
+        ms_scaling_factor=0.625,
+        uf_method="peeling",
+    )
+    ours = np.asarray(dec.decode_batch(syndromes))
+    assert ((ours @ H.T) % 2 == syndromes).all()
+    assert ((ref @ H.T) % 2 == syndromes).all()
+    fail_ref = ((errors ^ ref) @ lx.T % 2).any(axis=1).mean()
+    fail_our = ((errors ^ ours) @ lx.T % 2).any(axis=1).mean()
+    sigma = np.sqrt(2 * max(fail_ref, 1e-3) / B)
+    assert abs(fail_ref - fail_our) <= max(4 * sigma, 16 / B), (
+        fail_ref,
+        fail_our,
+    )
+
+
+def test_standalone_uf_parity_ler():
+    """Standalone (no BP) UnionFindDecoder matrix + peeling vs the
+    compiled reference's unguided UfDecoder
+    (union_find.hpp:431,485 single-argument overloads)."""
+    from ldpc_tpu import UnionFindDecoder
+
+    code = surface_code(7, compute_logicals=True)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    lx = np.asarray(code.lx.todense(), np.uint8)
+    m, n = H.shape
+    rng = np.random.default_rng(33)
+    B = 384
+    errors = (rng.random((B, n)) < 0.03).astype(np.uint8)
+    syndromes = (errors @ H.T % 2).astype(np.uint8)
+    stdin = rb.make_input(H, [0.03] * n, syndromes)
+    for mode, uf_method in [("uf-matrix-nobp", True), ("uf-peel-nobp", False)]:
+        _, ref = rb.run(stdin, decoder=mode, dump=True)
+        dec = UnionFindDecoder(code.hx, uf_method=uf_method)
+        ours = np.asarray(dec.decode_batch(syndromes))
+        assert ((ours @ H.T) % 2 == syndromes).all(), mode
+        assert ((ref @ H.T) % 2 == syndromes).all(), mode
+        fail_ref = ((errors ^ ref) @ lx.T % 2).any(axis=1).mean()
+        fail_our = ((errors ^ ours) @ lx.T % 2).any(axis=1).mean()
+        sigma = np.sqrt(2 * max(fail_ref, 1e-3) / B)
+        assert abs(fail_ref - fail_our) <= max(4 * sigma, 16 / B), (
+            mode,
+            fail_ref,
+            fail_our,
+        )
