@@ -38,7 +38,6 @@ from ldpc_tpu.ops.uf import (
     _grow,
     _propagate_labels,
     grow_until_valid,
-    invalid_checks_from_rref,
     masked_solve,
 )
 
@@ -85,10 +84,6 @@ def make_lsd_decoder(
     m, n = graph.m, graph.n
     if bits_per_step >= n:
         bits_per_step = 0  # grow-all fast path (see uf.make_uf_decoder)
-    H_pad = jnp.concatenate(
-        [jnp.asarray(graph.dense), jnp.zeros((m, 1), jnp.uint8)], axis=1
-    )  # (m, n+1), col n = zero pad
-
     order0 = lsd_order == 0 or lsd_method == LSD_0
     W = lsd_order
     pats_np = None if order0 else _pattern_table(lsd_method, W)

@@ -21,13 +21,14 @@ decodes simultaneously with dense primitives:
   the masked PCM yields every cluster's validity (a cluster is invalid
   iff some unreduced row carrying syndrome 1 has its label) and, at the
   end, every cluster's solution at once.
-- **Peeling validity/solve** (union_find.hpp:85,205-312): validity is
-  "cluster syndrome parity even, or cluster touches a planar boundary
-  bit" (column degree 1). The solve builds a spanning forest (sequential
-  union-find in bit order, as the reference does) and then peels ALL
-  current leaf checks per round instead of one at a time — the tree
-  solution is unique, so parallel peeling is exact and finishes in
-  tree-diameter rounds.
+- **Peeling validity/solve** (union_find.hpp:85,205-312): for column
+  degree <= 2, "parity even or boundary bit present" coincides with the
+  inversion mode's syndrome-in-image rule, so growth is shared; on TPU
+  the peeling result itself is ONE elimination over
+  [interior, boundary]-ordered in-cluster columns, whose greedy pivots
+  are exactly a spanning forest plus one boundary edge per component —
+  its unique solution IS the tree solution iterative peeling finds. The
+  CPU path keeps an explicit BFS forest + parallel leaf peeling.
 """
 
 from typing import Tuple
@@ -305,124 +306,6 @@ def _propagate_labels_mm(graph: PcmGraph, adj, in_bit, seed_checks, warm=None):
     return lab, active_chk
 
 
-def _invalid_floodfill_mm(adj, in_bit, bad_row):
-    """Per-check invalid-cluster flags: boolean reachability from
-    unreduced-bad rows through in-cluster bits, as MXU matmuls (the
-    scatter-free form of :func:`invalid_checks_from_bad`)."""
-    _, _, _, _, A = adj
-    t0 = bad_row.astype(jnp.float32)
-
-    def step(state):
-        t, _ = state
-        tb = (
-            jnp.dot(t, A, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) > 0.5
-        ) & in_bit
-        t_new = jnp.maximum(
-            t,
-            (
-                jax.lax.dot_general(
-                    tb.astype(jnp.float32),
-                    A,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-                )
-                > 0.5
-            ).astype(jnp.float32),
-        )
-        return t_new, jnp.any(t_new != t)
-
-    t, _ = jax.lax.while_loop(lambda s: s[1], step, (t0, jnp.array(True)))
-    return t > 0.5
-
-
-def _grow_mm(graph, adj, in_bit, labels, chk_invalid, llr_rank, bits_per_step):
-    """:func:`_grow` without scatters or per-round argsorts: each invalid
-    cluster admits its ``bits_per_step`` lowest-LLR boundary bits, chosen
-    by min-floodfilling a unique (label-scoped) key through the cluster.
-    ``llr_rank`` is the static global LLR ordering rank (computed once per
-    decode), so keys are unique and results match :func:`_grow` exactly."""
-    Gv, Gc, maskv, maskc, A = adj
-    m, n = graph.m, graph.n
-    B = in_bit.shape[0]
-    dv, dc = Gv.shape[0], Gc.shape[0]
-    inv_f = chk_invalid.astype(jnp.float32)
-    nbr_inv = (
-        jnp.dot(inv_f, A, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) > 0.5
-    )
-    cand = nbr_inv & ~in_bit
-    if bits_per_step == 0:
-        return in_bit | cand
-
-    # keys = label*SPAN + rank; exact in f32 (guarded by
-    # fused_growth_supported before this path is selected)
-    SPAN = jnp.float32(_growth_span(n))
-    labsrc = jnp.where(chk_invalid, labels, _INF_F)
-    # boundary bit's owning cluster = min label over adjacent invalid checks
-    bit_lab = None
-    for k in range(dv):
-        g = jnp.dot(labsrc, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        g = jnp.where(maskv[k][None, :] > 0, g, _INF_F)
-        bit_lab = g if bit_lab is None else jnp.minimum(bit_lab, g)
-    bit_lab = jnp.where(cand, bit_lab, _INF_F)
-
-    grown = in_bit
-    taken = jnp.zeros((B, n), bool)
-    for _ in range(bits_per_step):
-        key = jnp.where(
-            cand & ~taken, bit_lab * SPAN + llr_rank, _INF_F * SPAN
-        )
-        # push keys onto the owning cluster's checks only
-        kc = None
-        for k in range(dc):
-            gk = jnp.dot(key, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            gl = jnp.dot(bit_lab, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            hit = (maskc[k][None, :] > 0) & (gl == labels) & chk_invalid
-            gk = jnp.where(hit, gk, _INF_F * SPAN)
-            kc = gk if kc is None else jnp.minimum(kc, gk)
-
-        # min-floodfill the key through each cluster's connectivity
-        def step(state):
-            kcur, _ = state
-            kb = None
-            for k in range(dv):
-                g = jnp.dot(kcur, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-                g = jnp.where(maskv[k][None, :] > 0, g, _INF_F * SPAN)
-                kb = g if kb is None else jnp.minimum(kb, g)
-            kb = jnp.where(in_bit, kb, _INF_F * SPAN)
-            back = None
-            for k in range(dc):
-                g = jnp.dot(kb, Gc[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-                g = jnp.where(maskc[k][None, :] > 0, g, _INF_F * SPAN)
-                back = g if back is None else jnp.minimum(back, g)
-            knew = jnp.minimum(kcur, back)
-            return knew, jnp.any(knew != kcur)
-
-        kc, _ = jax.lax.while_loop(
-            lambda s: s[1], step, (kc, jnp.array(True))
-        )
-        # a boundary bit joins iff its key IS its cluster's minimum
-        minkc = None
-        for k in range(dv):
-            g = jnp.dot(kc, Gv[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            gl = jnp.dot(
-                jnp.where(chk_invalid, labels, _INF_F),
-                Gv[k],
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            hit = (maskv[k][None, :] > 0) & (gl == bit_lab)
-            g = jnp.where(hit, g, _INF_F * SPAN)
-            minkc = g if minkc is None else jnp.minimum(minkc, g)
-        win = (
-            cand
-            & ~taken
-            & (minkc == bit_lab * SPAN + llr_rank)
-            & (bit_lab < _INF_F)
-        )
-        grown = grown | win
-        taken = taken | win
-    return grown
-
-
 def make_masked_solver_or_none(graph: PcmGraph, dtype):
     """The fused pallas cluster solver when usable (TPU, f32, fits VMEM);
     None selects the XLA engine."""
@@ -449,11 +332,11 @@ def _grow_round_mm(graph, adj, in_bit, bad_row, llr_rank, bits_per_step):
     clusters are disconnected by definition), so ONE jointly-stacked
     min-floodfill of [badness ; candidate key] computes both the
     per-cluster invalid flag (badness 0 reachable from an unreduced
-    syndrome-1 row — exactly :func:`_invalid_floodfill_mm`) and the
+    syndrome-1 row — bad-row reachability through in-cluster bits) and the
     per-cluster minimum boundary key. A candidate bit joins iff some
     adjacent check carries badness 0 AND the cluster-min key equals the
     bit's own (globally unique) LLR rank — the identical join set to
-    :func:`_grow_mm`'s label-scoped selection, at a third of the sweeps.
+    a label-scoped selection would compute, at a third of the sweeps.
 
     Returns ``(new_in, any_invalid: (B,) bool)``.
     """
