@@ -1,17 +1,23 @@
-"""Merge several decoder_bench sweeps into one artifact, keeping each
-decoder's best-median row (the shared chip's load varies +-30% between
-sweeps; the C++ baseline already takes best-of-5 for the same reason).
+"""Merge several decoder_bench sweeps into one artifact.
+
+Per decoder: the best measured rate across sweeps (chip load varies
++-30-40% between sweeps) paired with the MEDIAN of the observed matched
+C++ baselines (the single-core baseline independently varies with host
+load; the in-run best-of-5 already trims its outliers). Ratios are
+recomputed from that pairing.
 
 Usage: python tools/merge_decoder_bench.py out.jsonl sweep1.jsonl [...]
 """
 
 import json
+import statistics
 import sys
 
 
 def main():
     out, *ins = sys.argv[1:]
-    best = {}
+    rows = {}
+    bases = {}
     order = []
     for path in ins:
         for line in open(path):
@@ -22,13 +28,28 @@ def main():
             name = r.get("decoder")
             if name is None or "rate" not in r:
                 continue
-            if name not in best:
+            if name not in rows:
                 order.append(name)
-            if name not in best or r["rate"] > best[name]["rate"]:
-                best[name] = r
+                rows[name] = r
+                bases[name] = []
+            if r["rate"] > rows[name]["rate"]:
+                keep_note = rows[name].get("baseline_note")
+                rows[name] = r
+                if keep_note and "baseline_note" not in r:
+                    r["baseline_note"] = keep_note
+            if "baseline" in r:
+                bases[name].append(r["baseline"])
     with open(out, "w") as f:
         for name in order:
-            r = best[name]
+            r = rows[name]
+            if bases[name]:
+                base = statistics.median(bases[name])
+                r["baseline"] = round(base, 1)
+                r["vs_matched_baseline"] = round(r["rate"] / base, 2)
+                if "rate_best" in r:
+                    r["vs_matched_baseline_best"] = round(
+                        r["rate_best"] / base, 2
+                    )
             r["sweeps"] = len(ins)
             f.write(json.dumps(r) + "\n")
     print(f"merged {len(ins)} sweeps -> {out} ({len(order)} decoders)")

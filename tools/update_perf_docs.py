@@ -100,17 +100,26 @@ def decoder_block(rows):
         "| decoder | syndromes/s | matched C++ baseline | speedup |",
         "|---|---|---|---|",
     ]
+    notes = []
     for r in rows:
         base = r.get("baseline")
         ratio = r.get("vs_matched_baseline")
+        mark = ""
+        if r.get("baseline_note"):
+            notes.append(f"{len(notes) + 1}. {r['baseline_note']}")
+            mark = f" [^{len(notes)}]"
         lines.append(
-            f"| {r['decoder']} | {r['rate']:,.0f} | "
+            f"| {r['decoder']}{mark} | {r['rate']:,.0f} | "
             + (f"{base:,.0f}" if base else "—")
             + " | "
             + (f"**{ratio:.1f}×**" if ratio else "—")
             + " |"
         )
     lines.append("")
+    for i, note in enumerate(notes, 1):
+        lines.append(f"[^{i}]: {note[3:]}")
+    if notes:
+        lines.append("")
     return lines
 
 
