@@ -123,3 +123,33 @@ def test_two_phase_matches_single_phase_counters():
     assert a == b
     assert c[5] == 0, f"bucket overflow in test workload: {c}"
     assert a == c
+
+
+def test_two_phase_matches_single_phase_more_workloads():
+    """Two-phase exactness is structural, not workload-specific: verify
+    the counter equality on a second code family and two error rates
+    (VERDICT weak spot: previously measured only at one workload)."""
+    import jax
+
+    from ldpc_tpu.codes import toric_code
+    from ldpc_tpu.monte_carlo_simulation import make_mc_decoder_step
+
+    code = toric_code(6, compute_logicals=True)
+    for p, seed in [(0.02, 3), (0.05, 7)]:
+        kw = dict(
+            logicals=code.lx,
+            batch_size=256,
+            rounds_per_call=2,
+            max_iter=20,
+            ms_scaling_factor=0.625,
+        )
+        single, _ = make_mc_decoder_step(
+            code.hx, p, phase1_iters=20, bucket_fraction=2, **kw
+        )
+        two, _ = make_mc_decoder_step(
+            code.hx, p, phase1_iters=4, bucket_fraction=2, **kw
+        )
+        a = list(map(int, single(jax.random.key(seed))))
+        b = list(map(int, two(jax.random.key(seed))))
+        assert b[5] == 0, f"bucket overflow: {b}"
+        assert a == b, (p, a, b)
