@@ -31,6 +31,61 @@ _RECEIVED_VECTOR = 1
 _AUTO = 2
 
 
+# segment length for the sparse (index-coded) decoding export; 256 keeps
+# local indices in uint8 and per-segment occupancy in the Poisson regime
+_SEG_L = 256
+
+
+def _sparse_export_plan(Bpad: int, n: int, Wb: int, wbar: float):
+    """Segment plan ``(S, K)`` for the sparse decoding export, or None.
+
+    Decodings at QEC-relevant error rates are ~1% dense, so shipping
+    per-segment nonzero positions instead of the bit-packed rows cuts the
+    dominant D2H bytes ~2x on a tunneled link (~33 MB/s here, measured).
+    The flattened (Bpad*n) decoding chunk is split into S segments of
+    ``_SEG_L`` bits; each exports its first K set-bit positions (uint8)
+    plus a count byte. K covers the Poisson(lam) occupancy tail to
+    ~1e-9 per segment (lam = expected set bits per segment from the
+    channel weight ``wbar``); heavier segments — e.g. a pathological
+    non-converged row — make the host redispatch the chunk with the
+    dense layout, so outputs are exact in every case. The compaction is
+    a batched per-segment sort: a flat-index compaction needs a 2.5M-
+    element scatter, which XLA emits catastrophically slowly (~12 ms)
+    when compiled next to the Pallas BP call. Returns None when segments
+    wouldn't save at least 25% over the dense layout.
+    """
+    lam = _SEG_L * wbar / max(n, 1)
+    K = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 5.0))
+    S = -(-(Bpad * n) // _SEG_L)
+    if S * (K + 1) > (3 * Bpad * Wb) // 4:
+        return None
+    return (S, K)
+
+
+def _iters_dtype(max_iter: int):
+    """Narrowest dtype that holds iteration counts <= max_iter."""
+    if max_iter <= 255:
+        return jnp.uint8, np.uint8, 1
+    if max_iter <= 65535:
+        return jnp.uint16, np.uint16, 2
+    return jnp.int32, np.int32, 4
+
+
+def _reconstruct_segments(buf_np, plan, Bpad: int, n: int):
+    """Rebuild the (Bpad, n) uint8 decodings from a segmented sparse
+    export buffer (layout: S*K local uint8 indices, then S count bytes)."""
+    S, K = plan
+    sk = buf_np[: S * K].reshape(S, K)
+    cnts = buf_np[S * K : S * (K + 1)]
+    valid = np.arange(K, dtype=np.uint8)[None, :] < cnts[:, None]
+    glob = (
+        np.arange(S, dtype=np.int64)[:, None] * _SEG_L + sk
+    )[valid]
+    flat = np.zeros(S * _SEG_L, np.uint8)
+    flat[glob] = 1
+    return flat[: Bpad * n].reshape(Bpad, n)
+
+
 class BpDecoderBase:
     """Belief-propagation decoder base: owns the PCM, channel and BP config."""
 
@@ -420,8 +475,13 @@ class BpDecoderBase:
             and not getattr(self, "_fused_unavailable", False)
         )
 
-    def _fused_cascade_fn(self, Bpad: int, K: int, post_key, post_builder):
-        key = ("fused_cascade", post_key, self._config_key(), Bpad, K)
+    def _fused_cascade_fn(
+        self, Bpad: int, K: int, post_key, post_builder, sparse_plan=None
+    ):
+        key = (
+            "fused_cascade", post_key, self._config_key(), Bpad, K,
+            sparse_plan,
+        )
         fn = self._decoder_cache.get(key)
         if fn is not None:
             return fn
@@ -487,14 +547,43 @@ class BpDecoderBase:
             else:
                 out = dec
             out = out * nonzero[:, None].astype(out.dtype)
+            it_jdt = _iters_dtype(self._max_iter)[0]
+            it_bytes = jax.lax.bitcast_convert_type(
+                iters.astype(it_jdt), jnp.uint8
+            ).reshape(-1)
+            if sparse_plan is not None:
+                # segmented index-coded export (see _sparse_export_plan):
+                # per-segment sorted set-bit positions + count byte; the
+                # host redispatches dense if any count exceeds K
+                S, Ks = sparse_plan
+                flat = out.reshape(-1)
+                xp = jnp.pad(
+                    flat, (0, S * _SEG_L - flat.shape[0])
+                ).reshape(S, _SEG_L)
+                mask = xp != 0
+                keys = jnp.where(
+                    mask,
+                    jnp.arange(_SEG_L, dtype=jnp.int32)[None, :],
+                    _SEG_L,
+                )
+                sk = jax.lax.sort(keys, dimension=1)[:, :Ks]
+                cnts = jnp.minimum(mask.sum(axis=1), 255).astype(jnp.uint8)
+                head = jnp.concatenate(
+                    [
+                        jnp.minimum(sk, 255).astype(jnp.uint8).reshape(-1),
+                        cnts,
+                    ]
+                )
+            else:
+                head = pack_bits_u8(out).reshape(-1)
             buf = jnp.concatenate(
                 [
-                    pack_bits_u8(out).reshape(-1),
+                    head,
                     pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
                     jax.lax.bitcast_convert_type(nfail, jnp.uint8),
-                    jax.lax.bitcast_convert_type(iters, jnp.uint8).reshape(-1),
+                    it_bytes,
                 ]
-            )  # (Bpad*Wb + Bpad/8 + 4 + 4*Bpad,) uint8
+            )  # (head + Bpad/8 + 4 + it_size*Bpad,) uint8
             return buf, llrs, dec
 
         fn = jax.jit(program)
@@ -519,6 +608,8 @@ class BpDecoderBase:
         Wb = -(-self.n // 8)
         packed_all = np.packbits(syndromes, axis=1, bitorder="little")
         CH = self._FUSED_CHUNK
+        wbar = float(np.sum(self._channel))
+        it_ndt, it_size = _iters_dtype(self._max_iter)[1:]
         starts = list(range(0, B0, CH)) or [0]
         launches = []
         for st in starts:
@@ -528,42 +619,59 @@ class BpDecoderBase:
                 -(-Bc // 512) * 512 if Bc >= 512 else max(128, -(-Bc // 128) * 128)
             )
             K = min(Bpad, max(128, -(-(Bpad // 8) // 128) * 128))
+            plan = _sparse_export_plan(Bpad, self.n, Wb, wbar)
             if Bpad != Bc:
                 chunk = np.concatenate(
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
                 )
             dev = jnp.asarray(chunk)
             buf, llrs, bpd = self._fused_cascade_fn(
-                Bpad, K, post_key, post_builder
+                Bpad, K, post_key, post_builder, plan
             )(dev)
             buf.copy_to_host_async()
-            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd))
+            launches.append((st, Bc, Bpad, K, plan, dev, buf, llrs, bpd))
 
         out_packed = np.empty((B0, Wb), np.uint8)
         out = None if bit_packed_output else np.empty((B0, self.n), np.uint8)
         conv = np.empty(B0, bool)
         iters = np.empty(B0, np.int32)
         llr_chunks, bpd_chunks = [], []
-        for st, Bc, Bpad, K, dev, buf, llrs, bpd in launches:
+        for st, Bc, Bpad, K, plan, dev, buf, llrs, bpd in launches:
             buf_np = np.asarray(buf)
-            o1 = Bpad * Wb
+            o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
             o2 = o1 + Bpad // 8
             o3 = o2 + 4
             nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
-            if nfail > K:  # bucket overflow: redo chunk with a full bucket
+            seg_over = bool(
+                plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
+            )
+            if nfail > K or seg_over:  # bucket/segment overflow: redo chunk
+                K = Bpad if nfail > K else K
+                plan = None if seg_over else plan
                 buf, llrs, bpd = self._fused_cascade_fn(
-                    Bpad, Bpad, post_key, post_builder
+                    Bpad, K, post_key, post_builder, plan
                 )(dev)
                 buf_np = np.asarray(buf)
-            pd_np = buf_np[:o1].reshape(Bpad, Wb)
-            out_packed[st : st + Bc] = pd_np[:Bc]
-            if out is not None:
-                out[st : st + Bc] = gf2.unpack_bits_u8(pd_np[:Bc], self.n)
+                o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
+                o2 = o1 + Bpad // 8
+                o3 = o2 + 4
+            if plan:
+                outc = _reconstruct_segments(buf_np, plan, Bpad, self.n)[:Bc]
+                out_packed[st : st + Bc] = np.packbits(
+                    outc, axis=1, bitorder="little"
+                )
+                if out is not None:
+                    out[st : st + Bc] = outc
+            else:
+                pd_np = buf_np[:o1].reshape(Bpad, Wb)
+                out_packed[st : st + Bc] = pd_np[:Bc]
+                if out is not None:
+                    out[st : st + Bc] = gf2.unpack_bits_u8(pd_np[:Bc], self.n)
             conv[st : st + Bc] = np.unpackbits(
                 buf_np[o1:o2], count=Bc, bitorder="little"
             ).astype(bool)
             iters[st : st + Bc] = (
-                np.ascontiguousarray(buf_np[o3:]).view(np.int32)[:Bc]
+                np.ascontiguousarray(buf_np[o3:]).view(it_ndt)[:Bc]
             )
             llr_chunks.append(llrs)
             bpd_chunks.append(bpd)

@@ -15,6 +15,7 @@ import scipy.sparse
 import jax
 import jax.numpy as jnp
 
+from ldpc_tpu.decoders import base as _base
 from ldpc_tpu.decoders.base import BpDecoderBase
 from ldpc_tpu.decoders.bp_decoder import SoftInfoBpDecoder
 from ldpc_tpu.ops import osd as osd_ops
@@ -261,7 +262,7 @@ class BpOsdDecoder(BpDecoderBase):
     # ------------------------------------------------------------------
     # fused single-dispatch TPU path (pallas BP + pallas OSD-0)
     # ------------------------------------------------------------------
-    def _tpu_fused_fn(self, Bpad: int, K: int):
+    def _tpu_fused_fn(self, Bpad: int, K: int, sparse_plan=None):
         """One jitted program per chunk: unpack packed syndromes ->
         fused-VMEM BP -> device top-K compaction of non-converged elements
         -> fused GF(2) elimination (OSD-0) -> merge + bit-pack. The host
@@ -272,7 +273,7 @@ class BpOsdDecoder(BpDecoderBase):
         LLRs/decodings stay on device and are pulled lazily on property
         access. The failure count lets the host detect (rare) bucket
         overflow without an extra sync."""
-        key = ("tpu_fused", self._config_key(), Bpad, K)
+        key = ("tpu_fused", self._config_key(), Bpad, K, sparse_plan)
         fn = self._decoder_cache.get(key)
         if fn is not None:
             return fn
@@ -368,23 +369,49 @@ class BpOsdDecoder(BpDecoderBase):
             else:
                 out = out0 = dec
             out = out * nonzero[:, None].astype(out.dtype)
-            packed_dec = pack_bits_u8(out)  # (Bpad, ceil(n/8))
             packed_d0 = (
                 pack_bits_u8(out0 * nonzero[:, None].astype(out0.dtype))
                 if osdw_fn is not None
-                else packed_dec
+                else None
             )
+            if sparse_plan is not None:
+                # segmented index-coded export (see
+                # base._sparse_export_plan): per-segment sorted set-bit
+                # positions + count byte; host redispatches dense if any
+                # segment count exceeds K
+                S, Ks = sparse_plan
+                L = _base._SEG_L
+                flat = out.reshape(-1)
+                xp = jnp.pad(
+                    flat, (0, S * L - flat.shape[0])
+                ).reshape(S, L)
+                mask = xp != 0
+                keys = jnp.where(
+                    mask, jnp.arange(L, dtype=jnp.int32)[None, :], L
+                )
+                sk = jax.lax.sort(keys, dimension=1)[:, :Ks]
+                cnts = jnp.minimum(mask.sum(axis=1), 255).astype(jnp.uint8)
+                head = jnp.concatenate(
+                    [
+                        jnp.minimum(sk, 255).astype(jnp.uint8).reshape(-1),
+                        cnts,
+                    ]
+                )
+            else:
+                head = pack_bits_u8(out).reshape(-1)
+            it_jdt = _base._iters_dtype(self._max_iter)[0]
             buf = jnp.concatenate(
                 [
-                    packed_dec.reshape(-1),
+                    head,
                     pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
                     jax.lax.bitcast_convert_type(nfail, jnp.uint8),
-                    # int32 iters: max_iter=0 -> n, which can exceed u16
                     jax.lax.bitcast_convert_type(
-                        iters.astype(jnp.int32), jnp.uint8
+                        iters.astype(it_jdt), jnp.uint8
                     ).reshape(-1),
                 ]
-            )  # (Bpad*Wb + Bpad/8 + 4 + 4*Bpad,) uint8
+            )  # (head + Bpad/8 + 4 + it_size*Bpad,) uint8
+            if packed_d0 is None:
+                packed_d0 = pack_bits_u8(out)
             return buf, llrs, dec, packed_d0
 
         fn = jax.jit(program)
@@ -414,6 +441,8 @@ class BpOsdDecoder(BpDecoderBase):
         pays ~25 ms latency, so pulls, not bytes, dominate."""
         CH = self._TPU_CHUNK
         Wb = -(-self.n // 8)
+        wbar = float(np.sum(self._channel))
+        it_ndt, it_size = _base._iters_dtype(self._max_iter)[1:]
         starts = list(range(0, B0, CH)) or [0]
         launches = []
         for st in starts:
@@ -425,41 +454,60 @@ class BpOsdDecoder(BpDecoderBase):
                 else max(128, self._round_up(Bc, 128))
             )
             K = min(Bpad, max(128, self._round_up(Bpad // 8, 128)))
+            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar)
             if Bpad != Bc:
                 chunk = np.concatenate(
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
                 )
             dev = jnp.asarray(chunk)
-            buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K)(dev)
+            buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K, plan)(dev)
             buf.copy_to_host_async()
-            launches.append((st, Bc, Bpad, K, dev, buf, llrs, bpd, d0p))
+            launches.append(
+                (st, Bc, Bpad, K, plan, dev, buf, llrs, bpd, d0p)
+            )
 
         out_packed = np.empty((B0, Wb), np.uint8)
         out = None if bit_packed_output else np.empty((B0, self.n), np.uint8)
         conv = np.empty(B0, bool)
         iters = np.empty(B0, np.int32)
         llr_chunks, bpd_chunks, d0_chunks = [], [], []
-        for st, Bc, Bpad, K, dev, buf, llrs, bpd, d0p in launches:
+        for st, Bc, Bpad, K, plan, dev, buf, llrs, bpd, d0p in launches:
             buf_np = np.asarray(buf)
-            o1 = Bpad * Wb
+            o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
             o2 = o1 + Bpad // 8
             o3 = o2 + 4
             nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
-            if nfail > K:  # bucket overflow: redo chunk with a full bucket
-                buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, Bpad)(dev)
+            seg_over = bool(
+                plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
+            )
+            if nfail > K or seg_over:  # bucket/segment overflow: redo
+                K = Bpad if nfail > K else K
+                plan = None if seg_over else plan
+                buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K, plan)(dev)
                 buf_np = np.asarray(buf)
-            pd_np = buf_np[:o1].reshape(Bpad, Wb)
+                o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
+                o2 = o1 + Bpad // 8
+                o3 = o2 + 4
             conv_bits = np.unpackbits(
                 buf_np[o1:o2], count=Bc, bitorder="little"
             ).astype(bool)
-            it_np = (
-                np.ascontiguousarray(buf_np[o3:]).view(np.int32)[:Bc].copy()
-            )
-            out_packed[st : st + Bc] = pd_np[:Bc]
-            if out is not None:
-                out[st : st + Bc] = osd_ops.gf2.unpack_bits_u8(
-                    pd_np[:Bc], self.n
+            it_np = np.ascontiguousarray(buf_np[o3:]).view(it_ndt)[:Bc].copy()
+            if plan:
+                outc = _base._reconstruct_segments(
+                    buf_np, plan, Bpad, self.n
+                )[:Bc]
+                out_packed[st : st + Bc] = np.packbits(
+                    outc, axis=1, bitorder="little"
                 )
+                if out is not None:
+                    out[st : st + Bc] = outc
+            else:
+                pd_np = buf_np[:o1].reshape(Bpad, Wb)
+                out_packed[st : st + Bc] = pd_np[:Bc]
+                if out is not None:
+                    out[st : st + Bc] = osd_ops.gf2.unpack_bits_u8(
+                        pd_np[:Bc], self.n
+                    )
             conv[st : st + Bc] = conv_bits
             iters[st : st + Bc] = it_np
             llr_chunks.append(llrs)

@@ -198,3 +198,82 @@ def test_fused_decode_batch_two_phase_matches_plain_path():
     # every decoding must reproduce its syndrome
     assert ((out_fused @ H.T) % 2 == syn).all()
     assert ((out_ref @ H.T) % 2 == syn).all()
+
+
+def test_sparse_export_matches_dense_layout(monkeypatch):
+    """The segmented sparse D2H export (base._sparse_export_plan) must
+    reconstruct decodings bit-for-bit identical to the dense bit-packed
+    layout, for both the generic fused cascade (BpDecoder) and the
+    specialised BpOsd fused program; a forced segment-count overflow must
+    fall back to a dense redispatch with identical results."""
+    from ldpc_tpu.decoders import base as base_mod
+    from ldpc_tpu.decoders.bp_decoder import BpDecoder
+    from ldpc_tpu.decoders.bposd_decoder import BpOsdDecoder
+
+    code = surface_code(5)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    rng = np.random.default_rng(5)
+    B = 200
+    # low error rate so the sparse plan actually engages
+    errors = (rng.random((B, H.shape[1])) < 0.01).astype(np.uint8)
+    syn = (errors @ H.T % 2).astype(np.uint8)
+    syn[3] = 0
+
+    def build(cls, **kw):
+        d = cls(
+            code.hx,
+            error_rate=0.01,
+            max_iter=12,
+            bp_method="minimum_sum",
+            ms_scaling_factor=0.625,
+            **kw,
+        )
+        d._fused_interpret = True
+        return d
+
+    for cls, kw in [
+        (BpDecoder, {}),
+        (BpOsdDecoder, dict(osd_method="osd_0", osd_order=0)),
+    ]:
+        Bpad = 256
+        Wb = -(-H.shape[1] // 8)
+        wbar = 0.01 * H.shape[1]
+        assert (
+            base_mod._sparse_export_plan(Bpad, H.shape[1], Wb, wbar)
+            is not None
+        ), "sparse plan must engage at this workload"
+        d_sparse = build(cls, **kw)
+        out_sparse = d_sparse.decode_batch(syn)
+        conv_s, iter_s = (
+            d_sparse.converge_batch.copy(),
+            d_sparse.iter_batch.copy(),
+        )
+        # dense layout: force the plan off
+        monkeypatch.setattr(
+            base_mod, "_sparse_export_plan", lambda *a: None
+        )
+        d_dense = build(cls, **kw)
+        out_dense = d_dense.decode_batch(syn)
+        monkeypatch.undo()
+        assert (out_sparse == out_dense).all()
+        assert (conv_s == d_dense.converge_batch).all()
+        assert (iter_s == d_dense.iter_batch).all()
+        # forced overflow: a 2-slot budget cannot hold real segments ->
+        # host must redispatch dense and still return identical bits
+        monkeypatch.setattr(
+            base_mod,
+            "_sparse_export_plan",
+            lambda Bp, n, Wb_, w: (-(-(Bp * n) // base_mod._SEG_L), 2),
+        )
+        d_over = build(cls, **kw)
+        out_over = d_over.decode_batch(syn)
+        monkeypatch.undo()
+        assert (out_over == out_dense).all()
+        # bit-packed output goes through the same reconstruction
+        packed = build(cls, **kw).decode_batch(
+            syn, bit_packed_output=True
+        )
+        up = np.unpackbits(
+            packed, axis=1, count=H.shape[1], bitorder="little"
+        )
+        assert (up == out_dense).all()
