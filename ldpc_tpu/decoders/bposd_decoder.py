@@ -262,7 +262,7 @@ class BpOsdDecoder(BpDecoderBase):
     # ------------------------------------------------------------------
     # fused single-dispatch TPU path (pallas BP + pallas OSD-0)
     # ------------------------------------------------------------------
-    def _tpu_fused_fn(self, Bpad: int, K: int, sparse_plan=None):
+    def _tpu_fused_fn(self, Bpad: int, K: int, sparse_plan=None, K2=0):
         """One jitted program per chunk: unpack packed syndromes ->
         fused-VMEM BP -> device top-K compaction of non-converged elements
         -> fused GF(2) elimination (OSD-0) -> merge + bit-pack. The host
@@ -273,7 +273,7 @@ class BpOsdDecoder(BpDecoderBase):
         LLRs/decodings stay on device and are pulled lazily on property
         access. The failure count lets the host detect (rare) bucket
         overflow without an extra sync."""
-        key = ("tpu_fused", self._config_key(), Bpad, K, sparse_plan)
+        key = ("tpu_fused", self._config_key(), Bpad, K, sparse_plan, K2)
         fn = self._decoder_cache.get(key)
         if fn is not None:
             return fn
@@ -351,14 +351,45 @@ class BpOsdDecoder(BpDecoderBase):
                     sub_dec = jnp.take(dec, idx, axis=0)
                     sub_conv = jnp.take(conv_eff, idx)
                     sub_llr = jnp.take(llrs, idx, axis=0)
+                has_post = osd_fn is not None or osdw_fn is not None
+                nfail2 = (
+                    (~sub_conv).sum().astype(jnp.int32)
+                    if has_post
+                    else jnp.int32(0)  # no post: overflow is meaningless
+                )
+                use_k2 = 0 < K2 < K and has_post
+                if use_k2:
+                    # second-level compaction: OSD only matters on rows
+                    # full-depth BP failed (~1%); the host redispatches
+                    # with a full post bucket on nfail2 overflow
+                    order2 = jnp.argsort(sub_conv, stable=True)
+                    idx2 = order2[:K2]
+                    syn_p = jnp.take(syn_f, idx2, axis=0)
+                    llr_p = jnp.take(sub_llr, idx2, axis=0)
+                else:
+                    syn_p, llr_p = syn_f, sub_llr
                 if osdw_fn is not None:
-                    d0, dw, _ = osdw_fn(syn_f, sub_llr)
-                    merged = jnp.where(sub_conv[:, None], sub_dec, dw)
-                    merged0 = jnp.where(sub_conv[:, None], sub_dec, d0)
+                    d0, dw, _ = osdw_fn(syn_p, llr_p)
                 elif osd_fn is not None:
-                    x0, _ = osd_fn(syn_f, sub_llr)
-                    merged = merged0 = jnp.where(
-                        sub_conv[:, None], sub_dec, x0
+                    d0, _ = osd_fn(syn_p, llr_p)
+                    dw = d0
+                else:
+                    d0 = dw = None
+                if d0 is not None and use_k2:
+                    dw = (
+                        jnp.zeros_like(sub_dec).at[idx2]
+                        .set(dw.astype(sub_dec.dtype))
+                    )
+                    d0 = (
+                        jnp.zeros_like(sub_dec).at[idx2]
+                        .set(d0.astype(sub_dec.dtype))
+                    )
+                if d0 is not None:
+                    merged = jnp.where(
+                        sub_conv[:, None], sub_dec, dw.astype(sub_dec.dtype)
+                    )
+                    merged0 = jnp.where(
+                        sub_conv[:, None], sub_dec, d0.astype(sub_dec.dtype)
                     )
                 else:
                     merged = merged0 = sub_dec
@@ -367,6 +398,7 @@ class BpOsdDecoder(BpDecoderBase):
                     dec.at[idx].set(merged0) if osdw_fn is not None else out
                 )
             else:
+                nfail2 = jnp.int32(0)
                 out = out0 = dec
             out = out * nonzero[:, None].astype(out.dtype)
             packed_d0 = (
@@ -405,11 +437,12 @@ class BpOsdDecoder(BpDecoderBase):
                     head,
                     pack_bits_u8(conv_eff[None, :].astype(jnp.uint8))[0],
                     jax.lax.bitcast_convert_type(nfail, jnp.uint8),
+                    jax.lax.bitcast_convert_type(nfail2, jnp.uint8),
                     jax.lax.bitcast_convert_type(
                         iters.astype(it_jdt), jnp.uint8
                     ).reshape(-1),
                 ]
-            )  # (head + Bpad/8 + 4 + it_size*Bpad,) uint8
+            )  # (head + Bpad/8 + 8 + it_size*Bpad,) uint8
             if packed_d0 is None:
                 packed_d0 = pack_bits_u8(out)
             return buf, llrs, dec, packed_d0
@@ -454,16 +487,17 @@ class BpOsdDecoder(BpDecoderBase):
                 else max(128, self._round_up(Bc, 128))
             )
             K = min(Bpad, max(128, self._round_up(Bpad // 8, 128)))
+            K2 = 0  # see base._decode_batch_fused: BP fails ~9% here
             plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar)
             if Bpad != Bc:
                 chunk = np.concatenate(
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
                 )
             dev = jnp.asarray(chunk)
-            buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K, plan)(dev)
+            buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K, plan, K2)(dev)
             buf.copy_to_host_async()
             launches.append(
-                (st, Bc, Bpad, K, plan, dev, buf, llrs, bpd, d0p)
+                (st, Bc, Bpad, K, K2, plan, dev, buf, llrs, bpd, d0p)
             )
 
         out_packed = np.empty((B0, Wb), np.uint8)
@@ -471,23 +505,28 @@ class BpOsdDecoder(BpDecoderBase):
         conv = np.empty(B0, bool)
         iters = np.empty(B0, np.int32)
         llr_chunks, bpd_chunks, d0_chunks = [], [], []
-        for st, Bc, Bpad, K, plan, dev, buf, llrs, bpd, d0p in launches:
-            buf_np = np.asarray(buf)
-            o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
-            o2 = o1 + Bpad // 8
-            o3 = o2 + 4
-            nfail = int(np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[0])
-            seg_over = bool(
-                plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
-            )
-            if nfail > K or seg_over:  # bucket/segment overflow: redo
-                K = Bpad if nfail > K else K
-                plan = None if seg_over else plan
-                buf, llrs, bpd, d0p = self._tpu_fused_fn(Bpad, K, plan)(dev)
+        for st, Bc, Bpad, K, K2, plan, dev, buf, llrs, bpd, d0p in launches:
+            # overflow redispatch loop (see base._decode_batch_fused)
+            for _ in range(4):
                 buf_np = np.asarray(buf)
                 o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
                 o2 = o1 + Bpad // 8
-                o3 = o2 + 4
+                o3 = o2 + 8
+                nfail, nfail2 = (
+                    np.ascontiguousarray(buf_np[o2:o3]).view(np.int32)[:2]
+                )
+                seg_over = bool(
+                    plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
+                )
+                if not (nfail > K or 0 < K2 < nfail2 or seg_over):
+                    break
+                K2 = K if 0 < K2 < nfail2 else K2
+                K = Bpad if nfail > K else K
+                K2 = min(K2, K)
+                plan = None if seg_over else plan
+                buf, llrs, bpd, d0p = self._tpu_fused_fn(
+                    Bpad, K, plan, K2
+                )(dev)
             conv_bits = np.unpackbits(
                 buf_np[o1:o2], count=Bc, bitorder="little"
             ).astype(bool)

@@ -59,15 +59,26 @@ class UnionFindDecoder:
             self._cache[key] = fn
         return fn
 
-    def _packed_fn(self, bits_per_step: int, guided: bool, staged_K: int = 0):
+    def _packed_fn(
+        self,
+        bits_per_step: int,
+        guided: bool,
+        staged_K: int = 0,
+        sparse_plan=None,
+    ):
         """One-dispatch program: bit-packed syndromes in, ONE packed
         uint8 buffer (decodings + validity bits + phase-1 fail count)
         out — distinct host<->device transfers dominate on tunneled
         links, and the unguided path synthesizes its zero LLRs on device
         instead of uploading a (B, n) float block. ``staged_K > 0``
         selects the two-phase growth (fixed rounds on the full batch,
-        straggler tail on the compacted top-K lanes)."""
-        key = ("packed", self.uf_method, bits_per_step, guided, staged_K)
+        straggler tail on the compacted top-K lanes). ``sparse_plan``
+        switches the decodings to the segmented index-coded export
+        (see decoders.base._sparse_export_plan)."""
+        key = (
+            "packed", self.uf_method, bits_per_step, guided, staged_K,
+            sparse_plan,
+        )
         fn = self._cache.get(key)
         if fn is None:
             import jax
@@ -90,6 +101,10 @@ class UnionFindDecoder:
                 syn = gf2.unpack_bits_u8_device(syn_packed, m)
                 if llrs is None:
                     llrs = jnp.zeros((syn.shape[0], n), jnp.float32)
+                elif llrs.ndim == 1:
+                    # shared channel llrs: broadcast on device instead of
+                    # uploading a (B, n) float block over the link
+                    llrs = jnp.broadcast_to(llrs, (syn.shape[0], n))
                 out = inner(syn, llrs)
                 dec, valid = out[0], out[1]
                 nfail = (
@@ -100,9 +115,36 @@ class UnionFindDecoder:
                 valid = valid | ~nonzero
                 import jax as _jax
 
+                if sparse_plan is not None:
+                    from ldpc_tpu.decoders import base as _base
+
+                    S, Ks = sparse_plan
+                    L = _base._SEG_L
+                    flat = dec.reshape(-1)
+                    xp = jnp.pad(
+                        flat, (0, S * L - flat.shape[0])
+                    ).reshape(S, L)
+                    mask = xp != 0
+                    keys = jnp.where(
+                        mask, jnp.arange(L, dtype=jnp.int32)[None, :], L
+                    )
+                    sk = _jax.lax.sort(keys, dimension=1)[:, :Ks]
+                    cnts = jnp.minimum(mask.sum(axis=1), 255).astype(
+                        jnp.uint8
+                    )
+                    head = jnp.concatenate(
+                        [
+                            jnp.minimum(sk, 255)
+                            .astype(jnp.uint8)
+                            .reshape(-1),
+                            cnts,
+                        ]
+                    )
+                else:
+                    head = gf2.pack_bits_u8(dec).reshape(-1)
                 buf = jnp.concatenate(
                     [
-                        gf2.pack_bits_u8(dec).reshape(-1),
+                        head,
                         gf2.pack_bits_u8(
                             valid[None, :].astype(jnp.uint8)
                         )[0],
@@ -150,8 +192,13 @@ class UnionFindDecoder:
         syndromes = np.atleast_2d(np.asarray(syndromes, dtype=np.uint8))
         B0 = syndromes.shape[0]
         guided = llrs is not None
+        shared_llr = None
         if guided:
-            llrs = np.atleast_2d(np.asarray(llrs, dtype=np.float32))
+            llrs = np.asarray(llrs, dtype=np.float32)
+            if llrs.ndim == 1:  # one channel-llr vector for every row
+                shared_llr = jnp.asarray(llrs)
+            else:
+                llrs = np.atleast_2d(llrs)
         import jax
 
         # chunked single-pull pipeline: each chunk's H2D/compute/D2H
@@ -161,6 +208,12 @@ class UnionFindDecoder:
         packed_all = np.packbits(syndromes, axis=1, bitorder="little")
         CH = 8192
         Wb = -(-self.n // 8)
+        from ldpc_tpu.decoders import base as _base
+
+        # no channel here: bound the expected decoding weight by the mean
+        # syndrome weight (UF corrections are matching-like, weight <~
+        # defects; overflow redispatches dense, so this is only a hint)
+        wbar_est = max(2.0, float(syndromes.sum()) / max(B0, 1))
         launches = []
         for st in range(0, B0, CH) or [0]:
             chunk = packed_all[st : st + CH]
@@ -176,45 +229,62 @@ class UnionFindDecoder:
                 )
             llr_c = None
             if guided:
-                llr_c = llrs[st : st + Bc]
-                if Bpad != Bc:
-                    llr_c = np.concatenate(
-                        [llr_c, np.zeros((Bpad - Bc, self.n), np.float32)]
-                    )
-                llr_c = jnp.asarray(llr_c)
+                if shared_llr is not None:
+                    llr_c = shared_llr
+                else:
+                    llr_c = llrs[st : st + Bc]
+                    if Bpad != Bc:
+                        llr_c = np.concatenate(
+                            [llr_c, np.zeros((Bpad - Bc, self.n), np.float32)]
+                        )
+                    llr_c = jnp.asarray(llr_c)
             staged_K = 0
             if Bpad >= 4096 and jax.default_backend() == "tpu":
                 staged_K = max(512, -(-(Bpad // 8) // 512) * 512)
+            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar_est)
             dev = jnp.asarray(chunk)
             try:
-                fn = self._packed_fn(bits_per_step, guided, staged_K)
+                fn = self._packed_fn(bits_per_step, guided, staged_K, plan)
             except ValueError:
                 staged_K = 0  # fused solver unavailable (CPU / big code)
-                fn = self._packed_fn(bits_per_step, guided, 0)
+                fn = self._packed_fn(bits_per_step, guided, 0, plan)
             buf = fn(dev, llr_c)
             if hasattr(buf, "copy_to_host_async"):
                 buf.copy_to_host_async()
-            launches.append((st, Bc, Bpad, staged_K, dev, llr_c, buf))
+            launches.append((st, Bc, Bpad, staged_K, plan, dev, llr_c, buf))
 
         dec = np.empty((B0, self.n), np.uint8)
         valid = np.empty(B0, bool)
-        for st, Bc, Bpad, staged_K, dev, llr_c, buf in launches:
+        for st, Bc, Bpad, staged_K, plan, dev, llr_c, buf in launches:
             buf_np = np.asarray(buf)
-            if staged_K:
-                nfail = int(
-                    np.ascontiguousarray(buf_np[-4:]).view(np.int32)[0]
-                )
-                if nfail > staged_K:  # bucket overflow: single-loop redo
-                    fn = self._packed_fn(bits_per_step, guided, 0)
-                    buf_np = np.asarray(fn(dev, llr_c))
-            dec[st : st + Bc] = np.unpackbits(
-                buf_np[: Bpad * Wb].reshape(Bpad, Wb)[:Bc],
-                axis=1,
-                count=self.n,
-                bitorder="little",
+            o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
+            nfail = (
+                int(np.ascontiguousarray(buf_np[-4:]).view(np.int32)[0])
+                if staged_K
+                else 0
             )
+            seg_over = bool(
+                plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
+            )
+            if nfail > staged_K or seg_over:  # overflow: redo the chunk
+                staged_K = 0 if nfail > staged_K else staged_K
+                plan = None if seg_over else plan
+                fn = self._packed_fn(bits_per_step, guided, staged_K, plan)
+                buf_np = np.asarray(fn(dev, llr_c))
+                o1 = plan[0] * (plan[1] + 1) if plan else Bpad * Wb
+            if plan:
+                dec[st : st + Bc] = _base._reconstruct_segments(
+                    buf_np, plan, Bpad, self.n
+                )[:Bc]
+            else:
+                dec[st : st + Bc] = np.unpackbits(
+                    buf_np[:o1].reshape(Bpad, Wb)[:Bc],
+                    axis=1,
+                    count=self.n,
+                    bitorder="little",
+                )
             valid[st : st + Bc] = np.unpackbits(
-                buf_np[Bpad * Wb : Bpad * Wb + Bpad // 8],
+                buf_np[o1 : o1 + Bpad // 8],
                 count=Bc,
                 bitorder="little",
             ).astype(bool)

@@ -250,8 +250,8 @@ def make_sharded_mc_step(
         pcm, error_rate, batch_size=batch_size_per_device, **kwargs
     )
 
-    def sharded(keys):  # (ndev,) key array, sharded over the mesh
-        counters = local_step(keys[0])
+    def sharded(keydata):  # (ndev, key_words) uint32, sharded over mesh
+        counters = local_step(jax.random.wrap_key_data(keydata[0]))
         return jax.lax.psum(counters, axis)
 
     fn = jax.jit(
@@ -265,9 +265,17 @@ def make_sharded_mc_step(
     )
 
     def step(key):
-        keys = jax.device_put(
-            jax.random.split(key, ndev), NamedSharding(mesh, P(axis))
-        )
+        # raw uint32 key words (typed key arrays can't cross
+        # make_array_from_callback); every process computes the same
+        # global split, each materialising only its addressable shards
+        kd = np.asarray(jax.random.key_data(jax.random.split(key, ndev)))
+        sh = NamedSharding(mesh, P(axis))
+        if jax.process_count() > 1:
+            keys = jax.make_array_from_callback(
+                kd.shape, sh, lambda idx: kd[idx]
+            )
+        else:
+            keys = jax.device_put(kd, sh)
         return fn(keys)
 
     return step, runs_local * ndev

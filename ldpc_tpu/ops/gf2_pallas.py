@@ -595,7 +595,16 @@ def make_masked_export_solver(
             interpret=interpret,
         )(order_t, count_t, s_t, H_d)
 
-    def solve(syndromes: jnp.ndarray, order: jnp.ndarray, count: jnp.ndarray):
+    def solve(
+        syndromes: jnp.ndarray,
+        order: jnp.ndarray,
+        count: jnp.ndarray,
+        with_matrix: bool = True,
+    ):
+        """``with_matrix=False`` skips unpacking the (B, m, n) reduced
+        matrix — the dominant cost of a call — for callers that only
+        need pivots/validity (e.g. LSD's nullity-growth rounds); R is
+        returned as None then."""
         B0 = syndromes.shape[0]
         if B0 >= tile_b:
             B, TB = _round_up(B0, tile_b), tile_b
@@ -619,16 +628,25 @@ def make_masked_export_solver(
             syndromes.T.astype(jnp.uint32)
         )
         Mw, colrow, used = run(order.T, count_t, s_t, TB)
-        Mb = Mw[:, :m, :B0].transpose(2, 1, 0)  # (B0, m, Wp)
-        all_bits = gf2.unpack_u32(Mb, n + 1)
+        if with_matrix:
+            Mb = Mw[:, :m, :B0].transpose(2, 1, 0)  # (B0, m, Wp)
+            all_bits = gf2.unpack_u32(Mb, n + 1)
+            R = all_bits[:, :, :n]
+            synd_red = all_bits[:, :, n]
+        else:
+            R = None
+            # the syndrome column rides word n // 32, bit n % 32
+            synd_red = (
+                (Mw[n // 32, :m, :B0] >> jnp.uint32(n % 32)) & 1
+            ).T.astype(jnp.uint8)
         return (
-            all_bits[:, :, :n],
-            all_bits[:, :, n],
+            R,
+            synd_red,
             colrow[:m, :B0].T,
             used[:m, :B0].T > 0.5,
         )
 
-    return jax.jit(solve)
+    return jax.jit(solve, static_argnums=3)
 
 
 def make_rref_export_solver(

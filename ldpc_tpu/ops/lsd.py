@@ -35,7 +35,6 @@ from ldpc_tpu.ops import gf2
 from ldpc_tpu.ops.pcm import PcmGraph
 from ldpc_tpu.ops.uf import (
     _INF,
-    _grow,
     _propagate_labels,
     grow_until_valid,
     masked_solve,
@@ -44,6 +43,17 @@ from ldpc_tpu.ops.uf import (
 LSD_0 = 0
 LSD_E = 1
 LSD_CS = 2
+
+
+def _take1(x, idx):
+    """``take_along_axis(x, idx, axis=1)`` as a flat row-major take —
+    XLA's batched-gather emitter serializes the axis-1 form on TPU
+    (~3 ms per (1024, n) gather inside a large program; this is ~us)."""
+    B, L = x.shape
+    base = (jnp.arange(B, dtype=jnp.int32) * L)[:, None]
+    return jnp.take(
+        x.reshape(-1), (base + idx).reshape(-1), axis=0
+    ).reshape(idx.shape)
 
 
 def _pattern_table(lsd_method: int, order: int) -> np.ndarray:
@@ -106,33 +116,48 @@ def make_lsd_decoder(
         except ValueError:
             export_solver = None
 
-    def bit_labels(labels, in_bit):
-        """Cluster label of each in-cluster column (min over its active
-        adjacent checks)."""
-        B = labels.shape[0]
-        var_chks = jnp.asarray(graph.var_chks)
-        var_mask = jnp.asarray(graph.var_mask)
-        lab_pad = jnp.concatenate([labels, jnp.full((B, 1), _INF)], axis=1)
-        bl = jnp.where(
-            var_mask[None], jnp.take(lab_pad, var_chks, axis=1), _INF
-        ).min(axis=2)
-        return jnp.where(in_bit, bl, _INF)  # (B, n)
+    lab_iota = None if order0 else jnp.arange(m + 1, dtype=jnp.int32)
 
-    def nonpivot_rank(collab, nonpiv_in, llrs):
+    def bit_labels(labels_f, in_bit, adj):
+        """Cluster label of each in-cluster column (min over its active
+        adjacent checks) — one-hot MXU form; labels are f32 with
+        ``_INF_F`` fill (see uf._propagate_labels_mm)."""
+        from ldpc_tpu.ops.uf import _INF_F
+
+        Gv, _, maskv, _, _ = adj
+        out = None
+        for k in range(Gv.shape[0]):
+            g = jnp.dot(
+                labels_f, Gv[k],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            g = jnp.where(maskv[k][None, :] > 0, g, _INF_F)
+            out = g if out is None else jnp.minimum(out, g)
+        return jnp.where(in_bit, out, _INF_F)  # (B, n) f32
+
+    def nonpivot_rank(collab_i, nonpiv_in, llrs):
         """Rank each non-pivot in-cluster column inside its cluster by
         ascending LLR (the reference's sort_non_pivot_cols,
-        lsd.hpp:823). Returns (rank: (B, n) int32 or big, colof:
-        (B, m+1, W) int32 column table, pad = n)."""
-        B = collab.shape[0]
-        bidx = jnp.arange(B)[:, None]
-        lab = jnp.where(nonpiv_in, collab, _INF)
-        sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True).astype(
-            jnp.int32
+        lsd.hpp:823). Returns (rank: (B, n) int32 or n, colof:
+        (B, m+1, W) int32 column table, pad = n). Scatter-free: the
+        rank un-permutation is an argsort-inverse gather and the colof
+        table is built by per-slot one-hot reductions."""
+        B = collab_i.shape[0]
+        lab = jnp.where(nonpiv_in, collab_i, _INF)
+        # one two-key sort-with-payload replaces the argsort+gather
+        # cascade (element gathers run ~2 ms each on TPU in-program);
+        # stable ties on equal (lab, llr) resolve to the original column
+        # order, matching argsort(llrs, stable) composition
+        col_iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :], lab.shape
         )
-        lab_by_llr = jnp.take_along_axis(lab, sub, axis=1)
-        seg = jnp.argsort(lab_by_llr, axis=1, stable=True).astype(jnp.int32)
-        perm = jnp.take_along_axis(sub, seg, axis=1)  # (B, n) col ids
-        lab_sorted = jnp.take_along_axis(lab, perm, axis=1)
+        lab_sorted, _, perm = jax.lax.sort(
+            (lab, llrs.astype(dtype), col_iota),
+            dimension=1,
+            num_keys=2,
+            is_stable=True,
+        )
         pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
         is_start = jnp.concatenate(
             [jnp.ones((B, 1), bool), lab_sorted[:, 1:] != lab_sorted[:, :-1]],
@@ -142,20 +167,29 @@ def make_lsd_decoder(
             jnp.maximum, jnp.where(is_start, pos, 0), axis=1
         )
         rank_sorted = pos - seg_start
-        rank = (
-            jnp.full((B, n), n, jnp.int32)
-            .at[bidx, perm]
-            .set(jnp.where(lab_sorted < _INF, rank_sorted, n))
+        # un-permute by sorting on the (permutation) column ids — an
+        # inverse-permutation gather in sort clothing
+        _, rank = jax.lax.sort(
+            (perm, jnp.where(lab_sorted < _INF, rank_sorted, n)),
+            dimension=1,
+            num_keys=1,
+            is_stable=True,
         )
         if W == 0:
             return rank, None
-        colof = jnp.full((B, m + 1, W), n, jnp.int32)
         put = (rank_sorted < W) & (lab_sorted < _INF)
-        colof = colof.at[
-            bidx,
-            jnp.where(put, jnp.minimum(lab_sorted, m), m),
-            jnp.minimum(rank_sorted, W - 1),
-        ].set(jnp.where(put, perm, n))
+        labc = jnp.where(put, jnp.minimum(lab_sorted, m), m + 1)
+        oh = (
+            labc[:, :, None] == lab_iota[None, None, :]
+        )  # (B, n, m+1); the m+1 sentinel never matches
+        colof_ws = []
+        for w in range(W):
+            sel = oh & (rank_sorted == w)[:, :, None]
+            v = (
+                sel * (perm + 1)[:, :, None]
+            ).sum(axis=1)  # (B, m+1); <=1 match per (lane, label)
+            colof_ws.append(jnp.where(v > 0, v - 1, n))
+        colof = jnp.stack(colof_ws, axis=2)  # (B, m+1, W)
         return rank, colof
 
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
@@ -183,18 +217,24 @@ def make_lsd_decoder(
                     jnp.int32
                 )
                 count = in_bit.sum(axis=1).astype(jnp.int32)
+                # the (B, m, n) matrix unpack dominates a call; skip it
+                # for the nullity-growth rounds, which only need pivots
                 R, synd_red, col_of_row, used = export_solver(
-                    syndromes, order_, count
+                    syndromes, order_, count, with_reduced
                 )
-                cr = jnp.minimum(col_of_row, n)
-                ispiv = (
-                    jnp.zeros((B, n + 1), bool).at[bidx, cr].max(used)
-                )[:, :n]
-                prc = (
-                    jnp.full((B, n + 1), m, jnp.int32)
-                    .at[bidx, cr]
-                    .set(jnp.where(used, row_iota[None, :], m))
-                )[:, :n]
+                # dense one-hot reductions instead of (B, m)->(B, n+1)
+                # scatters: XLA's TPU scatter emitter serializes them
+                # (~15 ms/call at B=1024; this form is ~0.3 ms)
+                cr = jnp.where(used, jnp.minimum(col_of_row, n), n)
+                oh = cr[:, :, None] == jnp.arange(
+                    n, dtype=cr.dtype
+                )[None, None, :]  # (B, m, n); row n (unused) drops out
+                ispiv = oh.any(axis=1)
+                prcv = (
+                    oh
+                    * (row_iota + 1).astype(jnp.int32)[None, :, None]
+                ).sum(axis=1)
+                prc = jnp.where(prcv > 0, prcv - 1, m)  # (B, n)
                 Rt = (
                     jnp.concatenate(
                         [
@@ -251,27 +291,60 @@ def make_lsd_decoder(
 
         # ---- grow every cluster until its nullity reaches lsd_order
         # (lsd.hpp:792-810; bounded to lsd_order extra single-bit rounds)
-        def dim_round(t, state):
-            in_bit, ispiv = state
-            labels, _ = _propagate_labels(graph, in_bit, seed_checks)
-            collab = bit_labels(labels, in_bit)
-            nonpiv_in = in_bit & ~ispiv
-            lab_clip = jnp.minimum(jnp.where(nonpiv_in, collab, _INF), m)
-            nullity = (
-                jnp.zeros((B, m + 1), jnp.int32)
-                .at[bidx, lab_clip]
-                .add(nonpiv_in.astype(jnp.int32))
-            )
-            needs = (
-                (nullity[bidx, jnp.minimum(labels, m)] < W)
-                & (labels < _INF)
-            )
-            new_in = _grow(graph, in_bit, labels, needs, llrs, 1, dtype)
-            ispiv2, *_ = msolve(new_in)
-            return new_in, ispiv2
+        # labels are threaded through the rounds as warm starts: label
+        # fixpoints only decrease as clusters grow/merge, so each round's
+        # propagation converges in ~1 sweep instead of ~graph-diameter.
+        # All graph sweeps ride the one-hot MXU forms and all per-label
+        # reductions are dense one-hot sums — XLA's TPU gather/scatter
+        # emitters serialize the index forms (~15 ms per op at B=1024)
+        from ldpc_tpu.ops.uf import (
+            _INF_F,
+            _adj_constants,
+            _grow_round_mm,
+            _propagate_labels_mm,
+        )
 
-        in_bit, _ = jax.lax.fori_loop(
-            0, W, dim_round, (in_bit, ispiv_orig)
+        adj = _adj_constants(graph)
+        labels0, _ = _propagate_labels_mm(graph, adj, in_bit, seed_checks)
+        _sub = jnp.argsort(llrs.astype(dtype), axis=1, stable=True)
+        llr_rank = jnp.argsort(_sub, axis=1, stable=True).astype(
+            jnp.float32
+        )
+        lab_iota_f = lab_iota.astype(jnp.float32)
+
+        def dim_round(t, state):
+            in_bit, ispiv, warm = state
+            labels_f, _ = _propagate_labels_mm(
+                graph, adj, in_bit, seed_checks, warm=warm
+            )
+            collab_f = bit_labels(labels_f, in_bit, adj)
+            nonpiv_in = in_bit & ~ispiv
+            # nullity per label: dense one-hot sum over columns
+            lcf = jnp.where(
+                nonpiv_in, jnp.minimum(collab_f, float(m)), float(m + 1)
+            )
+            oh = lcf[:, :, None] == lab_iota_f[None, None, :]
+            nullity = oh.sum(axis=1).astype(jnp.int32)  # (B, m+1)
+            # needs per check: pick each check's label's nullity
+            chk_lf = jnp.where(
+                labels_f < _INF_F, jnp.minimum(labels_f, float(m)),
+                float(m + 1),
+            )
+            ohc = chk_lf[:, :, None] == lab_iota_f[None, None, :]
+            nul_of_chk = (
+                (ohc * nullity[:, None, :].astype(jnp.float32))
+                .sum(axis=2)
+                .astype(jnp.int32)
+            )
+            needs = (nul_of_chk < W) & (labels_f < _INF_F)
+            new_in, _ = _grow_round_mm(
+                graph, adj, in_bit, needs, llr_rank, 1
+            )
+            ispiv2, *_ = msolve(new_in)
+            return new_in, ispiv2, labels_f
+
+        in_bit, _, warm_labels = jax.lax.fori_loop(
+            0, W, dim_round, (in_bit, ispiv_orig, labels0)
         )
         # final solve carries the REDUCED matrix for the candidate sweep
         # (candidate solutions read off as y = Ts ^ XOR of reduced
@@ -280,149 +353,185 @@ def make_lsd_decoder(
             msolve(in_bit, with_reduced=True)
         )
 
-        labels, _ = _propagate_labels(graph, in_bit, seed_checks)
-        collab = bit_labels(labels, in_bit)
+        labels_f, _ = _propagate_labels_mm(
+            graph, adj, in_bit, seed_checks, warm=warm_labels
+        )
+        collab_f = bit_labels(labels_f, in_bit, adj)
         nonpiv_in = in_bit & ~ispiv_orig
-        rank, colof = nonpivot_rank(collab, nonpiv_in, llrs)
+        collab_i = jnp.where(
+            collab_f < _INF_F, collab_f, jnp.float32(_INF)
+        ).astype(jnp.int32)
+        rank, colof = nonpivot_rank(collab_i, nonpiv_in, llrs)
 
-        # ---- candidate construction ----------------------------------
-        # per-candidate: original column set (<= W cols), cluster label,
-        # enumeration index within its cluster (tie-break order:
-        # baseline=0 < singles by rank < slot patterns)
+        # ---- candidate evaluation (block-structured, scatter-free) ----
+        # Candidate order within a cluster (osd_dense.hpp:106-140):
+        # baseline (enum 0) < singles by per-cluster rank (enum 1+rank,
+        # rank < n) < slot patterns (enum 1+n+p). All keys inside a
+        # cluster are distinct, so per-block minima + a cross-block min
+        # reproduce the flat segment-argmin exactly. Scores ride bit-
+        # PACKED rows (popcount) and per-label reductions are dense
+        # one-hot sums — both the (B, C, m) unpacked sweep and the
+        # (B,*)->(B, m+1) scatters of the flat formulation serialize on
+        # TPU (measured ~15 ms per scatter at B=1024).
+        Wm = -(-m // 8)
+        Rt_packed = gf2.pack_bits_u8(
+            Rt_orig.reshape(B * (n + 1), m)
+        ).reshape(B, n + 1, Wm)  # pad bits beyond m are zero
+        synd_packed = gf2.pack_bits_u8(synd_red)  # (B, Wm)
+        used_packed = gf2.pack_bits_u8(row_used.astype(jnp.uint8))
         base_score = (
-            (synd_red * row_used).sum(axis=1).astype(jnp.int32)
+            jax.lax.population_count(synd_packed & used_packed)
+            .astype(jnp.int32)
+            .sum(axis=1)
         )  # (B,) baseline pivot-solution weight
-
-        cand_cols = []  # list of (B, C_i, W) int32 blocks (pad col = n)
-        cand_label = []  # (B, C_i)
-        cand_enum = []  # (B, C_i) int32 enumeration ids (>=1)
-        cand_size = []  # (B, C_i) pattern weights
-        if use_singles:
-            cols = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[None, :], (B, n)
-            )
-            single_cols = jnp.full((B, n, W), n, jnp.int32)
-            single_cols = single_cols.at[:, :, 0].set(
-                jnp.where(nonpiv_in, cols, n)
-            )
-            cand_cols.append(single_cols)
-            cand_label.append(jnp.where(nonpiv_in, collab, _INF))
-            cand_enum.append(1 + jnp.minimum(rank, n).astype(jnp.int32))
-            cand_size.append(nonpiv_in.astype(jnp.int32))
-        if pats_np.shape[0]:
-            P = pats_np.shape[0]
-            pats = jnp.asarray(pats_np)  # (P, W)
-            # (B, m+1, P, W): column of each pattern slot, pad n when unused
-            pc = jnp.where(
-                pats[None, None, :, :] == 1, colof[:, :, None, :], n
-            )
-            slot_needed = pats[None, None] == 1
-            slot_ok = jnp.where(slot_needed, colof[:, :, None, :] < n, True)
-            pat_valid = slot_ok.all(axis=3)  # (B, m+1, P)
-            lab_grid = jnp.broadcast_to(
-                jnp.arange(m + 1, dtype=jnp.int32)[None, :, None], (B, m + 1, P)
-            )
-            enum_grid = jnp.broadcast_to(
-                (1 + n + jnp.arange(P, dtype=jnp.int32))[None, None, :],
-                (B, m + 1, P),
-            )
-            size_grid = jnp.broadcast_to(
-                pats.sum(axis=1).astype(jnp.int32)[None, None, :], (B, m + 1, P)
-            )
-            cand_cols.append(pc.reshape(B, (m + 1) * P, W))
-            cand_label.append(
-                jnp.where(pat_valid, lab_grid, _INF).reshape(B, (m + 1) * P)
-            )
-            cand_enum.append(enum_grid.reshape(B, (m + 1) * P))
-            cand_size.append(size_grid.reshape(B, (m + 1) * P))
-
-        cols = jnp.concatenate(cand_cols, axis=1)  # (B, C, W)
-        labs = jnp.concatenate(cand_label, axis=1)  # (B, C)
-        enums = jnp.concatenate(cand_enum, axis=1)  # (B, C)
-        sizes = jnp.concatenate(cand_size, axis=1)  # (B, C)
-        C = cols.shape[1]
-        valid_cand = labs < _INF
-
-        # ---- evaluate all candidates in one pass ----------------------
-        # y_q = Ts ^ XOR of the candidate's REDUCED columns (block
-        # diagonality keeps each column's support inside its cluster);
-        # candidate score = global pivot-solution Hamming weight
-        # (osd_dense.hpp:106-113) = sum over used rows of y_q
-        ybits = jnp.broadcast_to(
-            synd_red[:, None, :], (B, C, m)
-        )  # (B, C, m)
-        for w in range(W):
-            dsel = jnp.take_along_axis(
-                Rt_orig, cols[:, :, w][:, :, None], axis=1
-            )  # (B, C, m): the w-th candidate column of every candidate
-            ybits = ybits ^ dsel
-        used_f = row_used.astype(jnp.float32)  # (B, m)
-        score = (
-            jnp.einsum(
-                "bm,bcm->bc",
-                used_f,
-                ybits.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            + sizes
-        )
-        score = jnp.where(valid_cand, score, jnp.int32(2**28))
-
-        # ---- per-cluster winner (segment argmin, ties -> lower enum) ---
         STRIDE = jnp.int32(2 * n + 2)
-        combined = score * STRIDE + jnp.minimum(enums, STRIDE - 1)
-        lab_clip = jnp.minimum(labs, m)
-        best = jnp.full((B, m + 1), jnp.int32(2**30))
-        best = best.at[bidx, lab_clip].min(
-            jnp.where(valid_cand, combined, jnp.int32(2**30))
-        )
-        base_combined = base_score[:, None] * STRIDE  # enum 0
-        improved = best < base_combined  # (B, m+1) cluster has a winner
-        win_enum = jnp.where(improved, best % STRIDE, 0)
+        BIG = jnp.int32(2**30)
+        Rt_flat = Rt_packed.reshape(B * (n + 1), Wm)
+        row_base = jnp.arange(B, dtype=jnp.int32) * (n + 1)
 
-        # ---- compose the global solution -------------------------------
-        is_winner = valid_cand & (
-            win_enum[bidx, lab_clip] == jnp.minimum(enums, STRIDE - 1)
-        ) & improved[bidx, lab_clip]
-        # map each cluster to its winning candidate slot (first match)
-        win_slot = jnp.full((B, m + 1), C, jnp.int32)
-        win_slot = win_slot.at[bidx, lab_clip].min(
-            jnp.where(
-                is_winner,
-                jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)),
-                C,
+        # pattern block: gather each label's <=W ranked non-pivot
+        # columns once (tiny: (B, m+1, W, Wm)), then score the P
+        # patterns as XOR/popcount folds over those slots
+        P = pats_np.shape[0]
+        key_pat = jnp.full((B, m + 1), BIG)
+        win_p = jnp.zeros((B, m + 1), jnp.int32)
+        Rcol = slot_ok = None
+        if P:
+            Rcol = jnp.take(
+                Rt_flat,
+                (row_base[:, None, None] + colof).reshape(-1),
+                axis=0,
+            ).reshape(B, m + 1, W, Wm)
+            slot_ok = colof < n  # (B, m+1, W)
+            for p in range(P):
+                patrow = pats_np[p]
+                y = jnp.broadcast_to(
+                    synd_packed[:, None, :], (B, m + 1, Wm)
+                )
+                okp = jnp.ones((B, m + 1), bool)
+                for w in range(W):
+                    if patrow[w]:
+                        y = y ^ Rcol[:, :, w, :]
+                        okp = okp & slot_ok[:, :, w]
+                sc = (
+                    jax.lax.population_count(y & used_packed[:, None, :])
+                    .astype(jnp.int32)
+                    .sum(axis=2)
+                    + int(patrow.sum())
+                )
+                key = sc * STRIDE + jnp.int32(1 + n + p)
+                key = jnp.where(okp, key, BIG)
+                better = key < key_pat
+                win_p = jnp.where(better, p, win_p)
+                key_pat = jnp.minimum(key_pat, key)
+
+        best = key_pat
+        key_sing = arg_sing = None
+        if use_singles:
+            # singles: y_j = Ts ^ R[:, j]; per-label min via a dense
+            # one-hot masked min (keys are unique within a cluster)
+            ysing = synd_packed[:, None, :] ^ Rt_packed[:, :n, :]
+            sc_s = (
+                jax.lax.population_count(ysing & used_packed[:, None, :])
+                .astype(jnp.int32)
+                .sum(axis=2)
+                + 1
+            )  # (B, n)
+            key_s = jnp.where(
+                nonpiv_in,
+                sc_s * STRIDE + 1 + jnp.minimum(rank, n),
+                BIG,
             )
+            labc = jnp.where(
+                nonpiv_in, jnp.minimum(collab_i, m), m + 1
+            )  # m+1 sentinel matches no label slot
+            Msel = jnp.where(
+                labc[:, :, None] == lab_iota[None, None, :],
+                key_s[:, :, None],
+                BIG,
+            )  # (B, n, m+1)
+            key_sing = Msel.min(axis=1)  # (B, m+1)
+            arg_sing = jnp.where(
+                (Msel == key_sing[:, None, :]) & (Msel < BIG),
+                jnp.arange(n, dtype=jnp.int32)[None, :, None],
+                n,
+            ).min(axis=1)  # (B, m+1)
+            best = jnp.minimum(best, key_sing)
+
+        improved = best < base_score[:, None] * STRIDE  # (B, m+1)
+        pat_won = improved & (best == key_pat)
+        if use_singles:
+            sing_won = improved & ~pat_won
+        else:
+            sing_won = jnp.zeros_like(improved)
+
+        # ---- compose the global solution ------------------------------
+        # y* = Ts ^ XOR of every improved cluster's winning columns'
+        # reduced images — per-cluster winners compose because reduced
+        # columns stay inside their cluster's rows (block diagonality)
+        contrib = jnp.zeros((B, m + 1, Wm), jnp.uint8)
+        flip_cols = []  # (B, m+1) winning-column tables, pad = n
+        if P:
+            pw = jnp.take(
+                jnp.asarray(pats_np), win_p.reshape(-1), axis=0
+            ).reshape(B, m + 1, W)
+            use_slot = (
+                (pw == 1) & slot_ok & pat_won[:, :, None]
+            )  # (B, m+1, W)
+            for w in range(W):
+                contrib = contrib ^ jnp.where(
+                    use_slot[:, :, w, None], Rcol[:, :, w, :], 0
+                )
+                flip_cols.append(
+                    jnp.where(use_slot[:, :, w], colof[:, :, w], n)
+                )
+        if use_singles:
+            # winning-single columns via a one-hot MXU contraction (byte
+            # values <= 255 are exact in bf16; f32 accumulation)
+            oh_s = (
+                (
+                    jnp.where(sing_won, arg_sing, n)[:, :, None]
+                    == jnp.arange(n, dtype=jnp.int32)[None, None, :]
+                )
+            ).astype(jnp.bfloat16)  # (B, m+1, n); n sentinel matches none
+            scol = jax.lax.dot_general(
+                oh_s,
+                Rt_packed[:, :n, :].astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint8)
+            contrib = contrib ^ jnp.where(sing_won[:, :, None], scol, 0)
+            flip_cols.append(jnp.where(sing_won, arg_sing, n))
+        ystar_packed = synd_packed ^ jax.lax.reduce(
+            contrib, np.uint8(0), jax.lax.bitwise_xor, (1,)
         )
-        # flip vector: each improved cluster's winning candidate columns
-        # (clusters at the baseline contribute nothing)
-        flip = jnp.zeros((B, n + 1), jnp.uint8)
-        for w in range(W):
-            wc = jnp.take_along_axis(
-                jnp.concatenate(
-                    [cols[:, :, w], jnp.full((B, 1), n, jnp.int32)], axis=1
-                ),
-                jnp.minimum(win_slot, C),  # (B, m+1)
-                axis=1,
-            )  # (B, m+1): the w-th flipped column of each cluster's winner
-            flip = flip.at[bidx, wc].set(1)
-        # combined pivot solution: y* = Ts ^ R @ flip — per-cluster
-        # winners compose because reduced columns stay inside their
-        # cluster's rows (block diagonality)
-        ystar = synd_red.astype(jnp.float32) + jnp.einsum(
-            "bn,bnm->bm",
-            flip[:, :n].astype(jnp.float32),
-            Rt_orig[:, :n, :].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        ystar = ystar - 2.0 * jnp.floor(ystar * 0.5)  # (B, m)
-        # readout: x[j] = y*[pivot row of column j] (original coords)
-        sel = (
-            prc_orig[:, :, None] == jnp.arange(m, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.float32)  # (B, n, m); non-pivots -> zero row
-        x_piv = jnp.einsum(
-            "bm,bnm->bn", ystar, sel, preferred_element_type=jnp.float32
-        ).astype(jnp.uint8)
-        decoding = x_piv | flip[:, :n]
+        # flip vector via a dense membership test (winning columns are
+        # unique across clusters, so `any` is exact)
+        wcs = jnp.concatenate(flip_cols, axis=1)  # (B, (W+1)*(m+1))
+        flip = (
+            (wcs[:, :, None] == jnp.arange(n, dtype=jnp.int32)[None, None, :])
+            .any(axis=1)
+            .astype(jnp.uint8)
+        )  # (B, n)
+
+        # readout: x[j] = y*[pivot row of column j] (original coords).
+        # prc == m means "no pivot"; bit m of the packed row is a zero
+        # pad bit when m % 8 != 0, and the appended zero byte covers the
+        # m % 8 == 0 case.
+        ystar = gf2.unpack_bits_u8_device(ystar_packed, m)  # (B, m)
+        x_piv = (
+            (
+                (
+                    prc_orig[:, :, None]
+                    == jnp.arange(m, dtype=jnp.int32)[None, None, :]
+                )
+                & (ystar[:, None, :] != 0)
+            )
+            .any(axis=2)
+            .astype(jnp.uint8)
+        )  # (B, n); prc == m (no pivot) matches nothing
+        decoding = x_piv | flip
         return decoding, valid_out
 
     return jax.jit(decode)
+

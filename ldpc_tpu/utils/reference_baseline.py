@@ -66,12 +66,8 @@ def available() -> bool:
 
 
 def build_binary() -> Optional[str]:
-    """Compile the driver once per process tree; None when unavailable."""
-    if os.path.exists(BIN):
-        return BIN
-    if not available():
-        return None
-    os.makedirs(_BUILD_DIR, exist_ok=True)
+    """Compile the driver once per process tree; None when unavailable.
+    A binary older than the driver source is rebuilt."""
     src = os.path.join(
         os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,6 +75,11 @@ def build_binary() -> Optional[str]:
         "native",
         "bench_baseline.cpp",
     )
+    if os.path.exists(BIN) and os.path.getmtime(BIN) >= os.path.getmtime(src):
+        return BIN
+    if not available():
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++20", "-o", BIN, src,
         "-I", _patched_include_dir(),

@@ -30,6 +30,7 @@
 // Pauli values (0-3), the channel as 3n doubles (X, Y, Z blocks), and
 // runs the GF(4) mbp_decoder (min-sum, gamma = ms_scaling_factor).
 #include <chrono>
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <iostream>
@@ -151,6 +152,77 @@ int main(int argc, char **argv) {
         return 0;
     }
 
+    if (!std::strcmp(which, "bpflip")) {
+        // reference BpFlipDecoder composition (_bp_flip.pyx:44-61):
+        // flip decode, BP on the residual syndrome, XOR the decodings
+        int flip_iters = (int)extra1;
+        int seed = extra2 != 0 ? (int)extra2 : 1;
+        ldpc::flip::FlipDecoder flip(pcm, flip_iters, 0, seed);
+        ldpc::bp::BpDecoder bpd(pcm, channel, max_iter,
+                                ldpc::bp::MINIMUM_SUM, ldpc::bp::PARALLEL,
+                                ms_factor);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        std::vector<uint8_t> residual(m);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            auto &fd = flip.decode(syndromes[s]);
+            auto fs = pcm.mulvec(fd);
+            for (int i = 0; i < m; i++)
+                residual[i] = syndromes[s][i] ^ fs[i];
+            bpd.decode(residual);
+            if (dump) decodings[s].resize(n);
+            for (int j = 0; j < n; j++) {
+                uint8_t v = bpd.decoding[j] ^ fd[j];
+                checksum += v;
+                if (dump) decodings[s][j] = v;
+            }
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
+
+    if (!std::strcmp(which, "lsd-nobp")) {
+        // reference standalone LsdDecoder (_lsd_decoder.pyx:129-175):
+        // lsd_decode directly, channel llrs as the bit weights
+        ldpc::lsd::LsdDecoder lsd(
+            pcm, static_cast<ldpc::osd::OsdMethod>(osd_method_i + 1),
+            osd_order);
+        std::vector<double> llrs(n);
+        for (int j = 0; j < n; j++)
+            llrs[j] = std::log((1.0 - channel[j]) / channel[j]);
+        long long checksum = 0;
+        std::vector<std::vector<uint8_t>> decodings;
+        if (dump) decodings.resize(num);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int s = 0; s < num; s++) {
+            const auto &out = lsd.lsd_decode(syndromes[s], llrs, 1, true);
+            for (auto v : out) checksum += v;
+            if (dump) decodings[s].assign(out.begin(), out.end());
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double secs = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("decoded %d syndromes in %.6f s (checksum %lld)\n", num,
+                    secs, checksum);
+        if (dump)
+            for (int s = 0; s < num; s++) {
+                for (int j = 0; j < n; j++)
+                    std::putchar(decodings[s][j] ? '1' : '0');
+                std::putchar('\n');
+            }
+        return 0;
+    }
+
     if (is_soft) {
         double cutoff = extra1;
         double sigma = extra2 > 0 ? extra2 : 1.0;
@@ -183,14 +255,25 @@ int main(int argc, char **argv) {
     if (!std::strcmp(which, "uf-peel-nobp") ||
         !std::strcmp(which, "uf-matrix-nobp")) {
         bool peel = !std::strcmp(which, "uf-peel-nobp");
+        // extra1 != 0: growth guided by the channel llrs with
+        // bits_per_step=1 (the reference guided composition,
+        // union_find.hpp:431-483) — unlike the unguided peel this
+        // terminates on every syndrome, giving an unbiased baseline
+        bool guided = extra1 != 0;
+        std::vector<double> llrs(n);
+        for (int j = 0; j < n; j++)
+            llrs[j] = std::log((1.0 - channel[j]) / channel[j]);
         ldpc::uf::UfDecoder uf(pcm);
         long long checksum = 0;
         std::vector<std::vector<uint8_t>> decodings;
         if (dump) decodings.resize(num);
         auto t0 = std::chrono::steady_clock::now();
         for (int s = 0; s < num; s++) {
-            const auto &out = peel ? uf.peel_decode(syndromes[s])
-                                   : uf.matrix_decode(syndromes[s]);
+            const auto &out =
+                peel ? (guided ? uf.peel_decode(syndromes[s], llrs, 1)
+                               : uf.peel_decode(syndromes[s]))
+                     : (guided ? uf.matrix_decode(syndromes[s], llrs, 1)
+                               : uf.matrix_decode(syndromes[s]));
             for (auto v : out) checksum += v;
             if (dump) decodings[s].assign(out.begin(), out.end());
         }

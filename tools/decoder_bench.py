@@ -1,17 +1,23 @@
 """Per-decoder-family throughput vs the MATCHED compiled-reference
-baseline on the BASELINE d=13 surface workload.
+baseline on the BASELINE d=13 surface workload (optionally any surface
+distance / a [[400,16,6]] HGP workload — see --code).
 
 The headline bench (bench.py) measures the BP+OSD-0 pipeline; this tool
-measures every decoder family at the public ``decode_batch`` surface AND
+measures EVERY public decoder family at its ``decode_batch`` surface AND
 runs the same workload through the matched reference C++ variant
-(native/bench_baseline.cpp: osd|lsd|uf-peel|uf-matrix|uf-*-nobp|flip), so
-"matching-or-beating on perf" is demonstrated per family, not just for
-the flagship. Prints one JSON line per decoder:
+(native/bench_baseline.cpp modes: osd|lsd|lsd-nobp|uf-*|flip|bpflip|
+softinfo|mbp), so "matching-or-beating on perf" is demonstrated per
+family, not just for the flagship. Prints one JSON line per decoder:
 
     {"decoder": "BpOsdDecoder[osd_cs-2]", "rate": N, "unit": "syndromes/s",
      "baseline": N, "vs_matched_baseline": N, ...}
 
-Usage: python tools/decoder_bench.py [batch] [reps]
+Rows whose comparison needs a caveat carry a "note" field (e.g. the BP
+row does not assert syndrome validity; the unguided reference peel hangs,
+so the standalone-peel baseline is the reference's guided configuration).
+
+Usage: python tools/decoder_bench.py [batch] [reps] [--code surface13|hgp400]
+       [--only substring]
 """
 
 import json
@@ -28,31 +34,77 @@ sys.path.insert(
 MAX_ITER = 30
 MS_FACTOR = 0.625
 ERROR_RATE = 0.01
-BASELINE_SYNDROMES = 2000
+
+
+def build_code(which):
+    """(hx csr, workload label)."""
+    if which == "hgp400":
+        # the reference's flagship quantum workload: the [[400,16,6]]
+        # hypergraph-product code, loaded from the reference's own PCM
+        # fixture (python_test/test_qcodes.py:95-160; pcms/*.npz is
+        # data, not code)
+        import scipy.sparse
+
+        hx = scipy.sparse.load_npz(
+            "/root/reference/python_test/pcms/hx_400_16_6.npz"
+        ).tocsr()
+        return hx, "hgp_400_16_6"
+    if which == "toric20":
+        import scipy.sparse
+
+        hx = scipy.sparse.load_npz(
+            "/root/reference/python_test/pcms/hx_toric_20.npz"
+        ).tocsr()
+        return hx, "toric_d20"
+    from ldpc_tpu.codes import surface_code
+
+    d = int(which.replace("surface", "") or 13)
+    return surface_code(d).hx, f"surface_d{d}"
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    args = [a for a in sys.argv[1:]]
+    only = None
+    code_name = "surface13"
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            only = args[i + 1]
+            i += 2
+        elif args[i] == "--code":
+            code_name = args[i + 1]
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    batch = int(pos[0]) if len(pos) > 0 else 65536
+    reps = int(pos[1]) if len(pos) > 1 else 5
+    nb_default = 2000
 
     import jax
 
     from ldpc_tpu import (
         BeliefFindDecoder,
         BpDecoder,
+        BpFlipDecoder,
         BpLsdDecoder,
         BpOsdDecoder,
         FlipDecoder,
+        LsdDecoder,
+        MbpDecoder,
+        SoftInfoBpDecoder,
         UnionFindDecoder,
     )
-    from ldpc_tpu.codes import surface_code
     from ldpc_tpu.utils import reference_baseline as rb
 
-    code = surface_code(13)
-    H = np.asarray(code.hx.todense(), np.uint8)
+    hx, workload = build_code(code_name)
+    H = np.asarray(hx.todense(), np.uint8)
+    m, n = H.shape
     rng = np.random.default_rng(11)
-    errors = (rng.random((batch, H.shape[1])) < ERROR_RATE).astype(np.uint8)
+    errors = (rng.random((batch, n)) < ERROR_RATE).astype(np.uint8)
     syndromes = (errors @ H.T % 2).astype(np.uint8)
+    llr1 = np.full(n, np.log((1 - ERROR_RATE) / ERROR_RATE), np.float32)
 
     common = dict(
         error_rate=ERROR_RATE,
@@ -60,82 +112,224 @@ def main():
         bp_method="minimum_sum",
         ms_scaling_factor=MS_FACTOR,
     )
-    # (name, decoder, matched reference mode + args); baseline mode None
-    # means no matched single-variant reference exists
-    variants = [
-        ("BpDecoder", BpDecoder(code.hx, **common),
-         dict(decoder="osd", osd_method=-1)),
-        ("BpOsdDecoder[osd0]",
-         BpOsdDecoder(code.hx, osd_method="osd_0", **common),
-         dict(decoder="osd", osd_method=0, osd_order=0)),
-        ("BpOsdDecoder[osd_cs-2]",
-         BpOsdDecoder(code.hx, osd_method="osd_cs", osd_order=2, **common),
-         dict(decoder="osd", osd_method=2, osd_order=2)),
-        ("BpOsdDecoder[osd_e-2]",
-         BpOsdDecoder(code.hx, osd_method="osd_e", osd_order=2, **common),
-         dict(decoder="osd", osd_method=1, osd_order=2)),
-        ("BpLsdDecoder[lsd0]",
-         BpLsdDecoder(code.hx, lsd_method="lsd_0", lsd_order=0, **common),
-         dict(decoder="lsd", osd_method=-1, osd_order=0)),
-        ("BeliefFindDecoder[inversion]",
-         BeliefFindDecoder(code.hx, uf_method="inversion", **common),
-         dict(decoder="uf-matrix")),
-        ("BeliefFindDecoder[peeling]",
-         BeliefFindDecoder(code.hx, uf_method="peeling", **common),
-         dict(decoder="uf-peel")),
-        ("UnionFindDecoder[matrix]",
-         UnionFindDecoder(code.hx, uf_method=True),
-         dict(decoder="uf-matrix-nobp")),
-        ("UnionFindDecoder[peeling]",
-         UnionFindDecoder(code.hx, uf_method=False),
-         dict(decoder="uf-peel-nobp")),
-        ("FlipDecoder",
-         FlipDecoder(code.hx, max_iter=H.shape[1]),
-         dict(decoder="flip", max_iter=0)),
-    ]
+    NOTE_BP = (
+        "BP alone does not guarantee syndrome-valid output; validity is "
+        "not asserted for this row (matches the reference's BpDecoder)"
+    )
+    NOTE_PEEL = (
+        "baseline is the reference's llr-guided peel (bits_per_step=1), "
+        "its terminating standalone configuration — the unguided "
+        "reference peel loops forever on some syndromes (upstream bug "
+        "this framework does not share)"
+    )
+    NOTE_PEEL_GUIDED = (
+        "one-bit-per-step guided growth is inherently sequential on both "
+        "sides; this row is latency-bound, not throughput-bound — the "
+        "recommended standalone configuration is the unguided row above"
+    )
+
+    # soft-info workload: analog syndromes derived from the hard ones
+    SOFT_SIGMA, SOFT_CUTOFF = 0.6, 5.0
+    soft_syndromes = (
+        (1.0 - 2.0 * syndromes) + SOFT_SIGMA * rng.normal(size=syndromes.shape)
+    )
+
+    # GF(4) workload for MBP (CSS stack: hz rows as Z=3, hx rows as X=1)
+    # — surface workloads only (the hgp fixture ships hx alone)
+    Hgf4 = mbp_syn = None
+    mbp_batch = min(batch, 16384)
+    ch3 = np.full((3, n), ERROR_RATE)
+    if workload.startswith("surface"):
+        from ldpc_tpu.codes import surface_code as _sc
+
+        _code = _sc(int(workload.split("_d")[1]))
+        Hgf4 = np.vstack(
+            [np.asarray(_code.hz.todense(), np.uint8) * 3,
+             np.asarray(_code.hx.todense(), np.uint8)]
+        ).astype(np.uint8)
+
+        # GF(4) errors -> pauli syndromes (commutation, mbp.hpp:43-56):
+        # check i fires if |{j: H[i,j] and e[j] and e[j] != H[i,j]}| odd
+        def pauli_syndromes(errs):
+            out = np.zeros((errs.shape[0], Hgf4.shape[0]), np.uint8)
+            Hnz = Hgf4 != 0
+            for st in range(0, errs.shape[0], 2048):
+                e = errs[st : st + 2048]
+                acc = ((e[:, None, :] != 0) & Hnz[None] &
+                       (e[:, None, :] != Hgf4[None])).sum(axis=2)
+                out[st : st + 2048] = (acc % 2).astype(np.uint8)
+            return out
+
+        gf4_errors = rng.choice(
+            4, size=(mbp_batch, n),
+            p=[1 - 3 * ERROR_RATE] + [ERROR_RATE] * 3,
+        ).astype(np.uint8)
+        mbp_syn = pauli_syndromes(gf4_errors)
 
     have_ref = rb.build_binary() is not None
 
-    for name, dec, ref_cfg in variants:
+    def std_decode(dec):
+        return lambda: dec.decode_batch(syndromes)
+
+    # (name, decoder-or-None, decode_fn, check_valid, ref_cfg, ref stdin
+    #  builder, note, batch_used)
+    stdin_hard = None
+    stdin_soft = None
+    stdin_mbp = None
+
+    def hard_input(nb):
+        return rb.make_input(H, [ERROR_RATE] * n, syndromes[:nb])
+
+    def soft_input(nb):
+        return rb.make_input(
+            H, [ERROR_RATE] * n, None, soft_syndromes=soft_syndromes[:nb]
+        )
+
+    def mbp_input(nb):
+        return rb.make_input(Hgf4, None, mbp_syn[:nb], channel3=ch3)
+
+    variants = []
+
+    def add(name, build, decode=None, valid=True, ref=None,
+            stdin=hard_input, note=None, nb=nb_default, bsz=None,
+            ref_reps=5):
+        variants.append(dict(
+            name=name, build=build, decode=decode, valid=valid, ref=ref,
+            stdin=stdin, note=note, nb=nb, bsz=bsz or batch,
+            ref_reps=ref_reps,
+        ))
+
+    add("BpDecoder", lambda: BpDecoder(hx, **common), valid=False,
+        ref=dict(decoder="osd", osd_method=-1), note=NOTE_BP)
+    add("BpOsdDecoder[osd0]",
+        lambda: BpOsdDecoder(hx, osd_method="osd_0", **common),
+        ref=dict(decoder="osd", osd_method=0, osd_order=0))
+    add("BpOsdDecoder[osd_cs-2]",
+        lambda: BpOsdDecoder(hx, osd_method="osd_cs", osd_order=2, **common),
+        ref=dict(decoder="osd", osd_method=2, osd_order=2))
+    add("BpOsdDecoder[osd_e-2]",
+        lambda: BpOsdDecoder(hx, osd_method="osd_e", osd_order=2, **common),
+        ref=dict(decoder="osd", osd_method=1, osd_order=2))
+    add("BpOsdDecoder[osd_cs-5]",
+        lambda: BpOsdDecoder(hx, osd_method="osd_cs", osd_order=5, **common),
+        ref=dict(decoder="osd", osd_method=2, osd_order=5))
+    add("BpLsdDecoder[lsd0]",
+        lambda: BpLsdDecoder(hx, lsd_method="lsd_0", lsd_order=0, **common),
+        ref=dict(decoder="lsd", osd_method=-1, osd_order=0))
+    add("BpLsdDecoder[lsd_cs-5]",
+        lambda: BpLsdDecoder(hx, lsd_method="lsd_cs", lsd_order=5, **common),
+        ref=dict(decoder="lsd", osd_method=2, osd_order=5))
+    add("BeliefFindDecoder[inversion]",
+        lambda: BeliefFindDecoder(hx, uf_method="inversion", **common),
+        ref=dict(decoder="uf-matrix"))
+    add("BeliefFindDecoder[peeling]",
+        lambda: BeliefFindDecoder(hx, uf_method="peeling", **common),
+        ref=dict(decoder="uf-peel"))
+    add("UnionFindDecoder[matrix]",
+        lambda: UnionFindDecoder(hx, uf_method=True),
+        ref=dict(decoder="uf-matrix-nobp"))
+    add("UnionFindDecoder[peeling]",
+        lambda: UnionFindDecoder(hx, uf_method=False),
+        ref=dict(decoder="uf-peel-nobp", extra1=1.0), note=NOTE_PEEL,
+        nb=1000)
+    add("UnionFindDecoder[peeling-guided]",
+        lambda: UnionFindDecoder(hx, uf_method=False),
+        decode=lambda dec: (
+            lambda: dec.decode_batch(syndromes[:8192], llrs=llr1,
+                                     bits_per_step=1)
+        ),
+        ref=dict(decoder="uf-peel-nobp", extra1=1.0),
+        note=NOTE_PEEL_GUIDED, nb=1000, bsz=8192, ref_reps=3)
+    add("FlipDecoder", lambda: FlipDecoder(hx, max_iter=n),
+        ref=dict(decoder="flip", max_iter=0), valid=False,
+        note="greedy local flipping does not guarantee syndrome-valid "
+             "output; decision parity vs the reference is bitwise "
+             "(tests/test_ler_parity_aux.py)")
+    add("BpFlipDecoder",
+        lambda: BpFlipDecoder(hx, flip_iterations=0, **common),
+        ref=dict(decoder="bpflip", extra1=0.0), valid=False,
+        note=NOTE_BP)
+    add("LsdDecoder[standalone-lsd0]",
+        lambda: LsdDecoder(hx, lsd_method="lsd_0", lsd_order=0),
+        decode=lambda dec: (lambda: dec.decode_batch(syndromes, llr1)),
+        ref=dict(decoder="lsd-nobp", osd_method=-1, osd_order=0))
+    add("SoftInfoBpDecoder",
+        lambda: SoftInfoBpDecoder(
+            hx, error_rate=ERROR_RATE, max_iter=MAX_ITER,
+            ms_scaling_factor=1.0, cutoff=SOFT_CUTOFF, sigma=SOFT_SIGMA,
+        ),
+        decode=lambda dec: (
+            lambda: dec.decode_batch(soft_syndromes[:16384])
+        ),
+        valid=False,
+        ref=dict(decoder="softinfo", ms_factor=1.0, extra1=SOFT_CUTOFF,
+                 extra2=SOFT_SIGMA),
+        stdin=soft_input,
+        note=("soft syndromes are analog (624B/row f32): the "
+              "decode_batch surface is upload-bound on a tunneled link"),
+        nb=1000, bsz=16384, ref_reps=3)
+    if Hgf4 is not None:
+        add("MbpDecoder",
+            lambda: MbpDecoder(
+                Hgf4=Hgf4, error_channel=ch3, max_iter=MAX_ITER,
+                alpha_parameter=1.0, beta_parameter=0.0,
+                bp_method="min_sum", gamma_parameter=MS_FACTOR,
+            ),
+            decode=lambda dec: (lambda: dec.decode_batch(mbp_syn)),
+            valid=False,
+            ref=dict(decoder="mbp", extra1=1.0, extra2=0.0),
+            stdin=mbp_input,
+            note="GF(4) decoding: binary-H validity does not apply; "
+                 "decision parity vs the reference is pinned by "
+                 "tests/test_ler_parity_aux.py",
+            nb=500, bsz=mbp_batch, ref_reps=3)
+
+    for v in variants:
+        if only and only not in v["name"]:
+            continue
+        name = v["name"]
         try:
-            out = np.asarray(dec.decode_batch(syndromes))  # warmup/compile
-            valid = (
-                (out[:4096] @ H.T) % 2 == syndromes[:4096]
-            ).all() if name != "FlipDecoder" else True
+            dec = v["build"]()
+            call = (v["decode"](dec) if v["decode"] else std_decode(dec))
+            out = np.asarray(call())  # warmup/compile
+            valid = True
+            if v["valid"]:
+                bsz = min(v["bsz"], 4096)
+                valid = bool(
+                    ((out[:bsz] @ H.T) % 2 == syndromes[:bsz]).all()
+                )
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                dec.decode_batch(syndromes)
+                call()
                 times.append(time.perf_counter() - t0)
             times.sort()
-            rate = batch / times[len(times) // 2]
-            rate_best = batch / times[0]
+            rate = v["bsz"] / times[len(times) // 2]
+            rate_best = v["bsz"] / times[0]
             rec = {
                 "decoder": name,
+                "workload": workload,
                 "rate": round(rate, 1),
                 "rate_best": round(rate_best, 1),
                 "unit": "syndromes/s",
-                "valid": bool(valid),
-                "batch": batch,
+                "batch": v["bsz"],
                 "backend": jax.default_backend(),
             }
-            if have_ref and ref_cfg is not None:
+            if v["valid"]:  # rows without validity semantics omit the key
+                rec["valid"] = bool(valid)
+            if v["note"]:
+                rec["note"] = v["note"]
+            if have_ref and v["ref"] is not None:
                 cfg = dict(max_iter=MAX_ITER, ms_factor=MS_FACTOR)
-                cfg.update(ref_cfg)
-                # the reference's unguided peel hangs on certain d=13
-                # syndromes (an upstream infinite growth loop this
-                # framework does not share) — on timeout, shrink the
-                # baseline sample until a clean subset measures
-                nb = BASELINE_SYNDROMES
+                cfg.update(v["ref"])
+                nb = v["nb"]
                 base = None
                 err = None
-                while nb >= 250:
+                while nb >= 125:
                     try:
-                        stdin_nb = rb.make_input(
-                            H, [ERROR_RATE] * H.shape[1], syndromes[:nb]
-                        )
                         base = rb.best_rate(
-                            stdin_nb, nb, reps=5, timeout=240, **cfg
+                            v["stdin"](nb), nb, reps=v["ref_reps"],
+                            timeout=600, **cfg
                         )
                         break
                     except Exception as exc:
@@ -152,8 +346,14 @@ def main():
                     rec["baseline_error"] = err
             print(json.dumps(rec), flush=True)
         except Exception as exc:  # keep the sweep going
+            import traceback
+
             print(
-                json.dumps({"decoder": name, "error": str(exc)[:200]}),
+                json.dumps({
+                    "decoder": name,
+                    "error": str(exc)[:200] or repr(exc)[:200],
+                    "error_tail": traceback.format_exc()[-200:],
+                }),
                 flush=True,
             )
 
