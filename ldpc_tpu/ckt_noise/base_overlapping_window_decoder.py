@@ -132,6 +132,26 @@ class BaseOverlappingWindowDecoder:
                     postprocess=post,
                 )
                 self._device_scan = (uw, fn)
+        if self._device_scan is None:
+            # be loud (once) about the slow path: the device scan only
+            # compiles for order-0 postprocessing on time-translation-
+            # invariant DEMs (matching the reference OWD defaults,
+            # ckt_noise/config.py:3-4); anything else runs the per-window
+            # host loop, which is orders of magnitude slower on batches
+            import warnings
+
+            why = (
+                "no device engine for this postprocess configuration"
+                if post is None
+                else "the DEM's windows are not time-translation invariant"
+            )
+            warnings.warn(
+                f"{type(self).__name__}: overlapping-window decoding "
+                f"falls back to the per-window host loop ({why}); large "
+                "batches will be slow",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return self._device_scan
 
     # -- decoding ----------------------------------------------------------

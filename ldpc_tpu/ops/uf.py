@@ -541,6 +541,77 @@ def grow_staged_fast(
     return in_bit, x0, valid, nfail
 
 
+def grow_staged_multi(
+    graph: PcmGraph,
+    syndromes,
+    llrs,
+    bits_per_step,
+    dtype,
+    solver,
+    levels,
+):
+    """Progressive straggler compaction for slow-growing configurations
+    (``bits_per_step == 1``: one bit per cluster per round, so lanes
+    need O(cluster-size) rounds and the round count has a long tail).
+
+    ``levels`` is a list of ``(rounds, K)``: run ``rounds`` fixed growth
+    rounds, then compact the still-invalid lanes to the top ``K`` and
+    continue; after the last level the unbounded while loop finishes the
+    final subset. Exact for the same reason :func:`grow_staged_fast`
+    is — every compacted lane resumes from its own growth state, and a
+    lane that validated mid-level keeps re-solving its frozen cluster.
+
+    Returns ``(x0, valid, excess)``; ``excess > 0`` means some level's
+    still-invalid count exceeded its K (results for the dropped lanes
+    are phase-state only) — the caller must redo unstaged.
+    """
+    m, n = graph.m, graph.n
+    B0 = syndromes.shape[0]
+    g_x0 = jnp.zeros((B0, n), jnp.uint8)
+    g_valid = jnp.zeros((B0,), bool)
+    gidx = jnp.arange(B0, dtype=jnp.int32)
+    cur_syn, cur_llr = syndromes, llrs
+    cur_in = jnp.zeros((B0, n), bool)
+    excess = jnp.int32(0)
+    for rounds, K in levels:
+        _, round_body = _fast_round_fns(
+            graph, cur_syn, cur_llr, bits_per_step, dtype, solver
+        )
+
+        def body(i, state, _rb=round_body):
+            new_state, _ = _rb((state, jnp.int32(i)))
+            return new_state
+
+        B = cur_syn.shape[0]
+        state0 = (
+            cur_in,
+            jnp.zeros((B, n), jnp.uint8),
+            jnp.zeros((B, m), bool),
+            jnp.ones(B, bool),
+        )
+        in_bit, x0, bad_row, any_invalid = jax.lax.fori_loop(
+            0, rounds, body, state0
+        )
+        nfail = any_invalid.sum().astype(jnp.int32)
+        excess = jnp.maximum(excess, nfail - K)
+        # bank every lane's current state; still-invalid lanes carry on
+        g_x0 = g_x0.at[gidx].set(x0)
+        g_valid = g_valid.at[gidx].set(~bad_row.any(axis=1))
+        order = jnp.argsort(~any_invalid, stable=True)
+        idx = order[:K]
+        gidx = jnp.take(gidx, idx)
+        cur_syn = jnp.take(cur_syn, idx, axis=0)
+        cur_llr = jnp.take(cur_llr, idx, axis=0)
+        cur_in = jnp.take(in_bit, idx, axis=0)
+    _, x0f, validf = grow_until_valid_fast(
+        graph, cur_syn, cur_llr, bits_per_step, dtype, solver,
+        in_bit0=cur_in,
+    )
+    g_x0 = g_x0.at[gidx].set(x0f)
+    g_valid = g_valid.at[gidx].set(validf)
+    return g_x0, g_valid, excess
+
+
 def grow_until_valid(graph: PcmGraph, syndromes, llrs, bits_per_step, dtype):
     """The shared UF/LSD growth loop: grow invalid clusters until every
     cluster's syndrome is in the image of its sub-PCM
@@ -586,6 +657,7 @@ def make_uf_decoder(
     dtype=jnp.float32,
     staged_K: int = 0,
     phase1_rounds: int = 2,
+    staged_levels=None,
 ):
     """Build a jitted batched union-find inversion-mode decoder
     (union_find.hpp:485-532).
@@ -608,12 +680,18 @@ def make_uf_decoder(
         bits_per_step = 0
 
     solver = make_masked_solver_or_none(graph, dtype)
-    if staged_K and solver is None:
+    if (staged_K or staged_levels) and solver is None:
         raise ValueError("staged growth requires the fused solver (TPU)")
 
     def decode(syndromes: jnp.ndarray, llrs: jnp.ndarray):
         B = syndromes.shape[0]
         syndromes = syndromes.astype(jnp.uint8)
+        if staged_levels is not None:
+            x0, valid, excess = grow_staged_multi(
+                graph, syndromes, llrs, bits_per_step, dtype, solver,
+                staged_levels,
+            )
+            return x0, valid, excess
         if staged_K:
             _, x0, valid, nfail = grow_staged_fast(
                 graph, syndromes, llrs, bits_per_step, dtype, solver,

@@ -232,3 +232,136 @@ def test_standalone_uf_parity_ler():
             fail_ref,
             fail_our,
         )
+
+
+def test_soft_info_parity_quantum_code_two_sigmas():
+    """Soft-info parity beyond the single rep-code workload: a surface
+    code (quantum, irregular degree) at two noise scales — decision
+    agreement with the compiled reference soft_info_decode_serial
+    (bp.hpp:547-665) at each sigma."""
+    from ldpc_tpu import SoftInfoBpDecoder
+
+    code = surface_code(5)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    m, n = H.shape
+    rng = np.random.default_rng(23)
+    errors = (rng.random((200, n)) < 0.03).astype(np.uint8)
+    hard = (errors @ H.T % 2).astype(np.uint8)
+    cutoff = 4.0
+    for sigma in (0.4, 0.8):
+        soft = (1.0 - 2.0 * hard) + sigma * rng.normal(size=hard.shape)
+        stdin = rb.make_input(H, [0.03] * n, None, soft_syndromes=soft)
+        _, ref = rb.run(
+            stdin,
+            max_iter=18,
+            ms_factor=1.0,
+            decoder="softinfo",
+            dump=True,
+            extra1=cutoff,
+            extra2=sigma,
+        )
+        dec = SoftInfoBpDecoder(
+            code.hx, error_rate=0.03, max_iter=18, cutoff=cutoff,
+            sigma=sigma,
+        )
+        ours = np.asarray(dec.decode_batch(soft)).astype(np.uint8)
+        agree = (ref == ours).all(axis=1).mean()
+        assert agree > 0.95, f"sigma={sigma}: agreement {agree}"
+
+
+def test_mbp_parity_second_code_asymmetric_bias():
+    """MBP on a second CSS family (toric) with an ASYMMETRIC per-Pauli
+    channel and non-unit alpha — exercises the per-Pauli alpha memory
+    and xyz bias handling (mbp.hpp:112-307) beyond the d=5 surface
+    workload."""
+    from ldpc_tpu import MbpDecoder
+    from ldpc_tpu.codes import toric_code
+
+    code = toric_code(4)
+    hx = np.asarray(code.hx.todense(), np.uint8)
+    hz = np.asarray(code.hz.todense(), np.uint8)
+    Hgf4 = np.vstack([hz * 3, hx]).astype(np.uint8)
+    m, n = Hgf4.shape
+    rng = np.random.default_rng(31)
+    px, py, pz = 0.03, 0.005, 0.015  # asymmetric xyz bias
+    errs = rng.choice(
+        4, size=(150, n), p=[1 - px - py - pz, px, py, pz]
+    ).astype(np.uint8)
+    syndromes = np.zeros((150, m), np.uint8)
+    Hnz = Hgf4 != 0
+    for s in range(150):
+        anti = (errs[s][None, :] != 0) & Hnz & (errs[s][None, :] != Hgf4)
+        syndromes[s] = anti.sum(axis=1) % 2
+    ch3 = np.stack([
+        np.full(n, px), np.full(n, py), np.full(n, pz)
+    ])
+    alpha, beta, gamma = 0.65, 0.0, 0.875
+    stdin = rb.make_input(Hgf4, None, syndromes, channel3=ch3)
+    _, ref = rb.run(
+        stdin,
+        max_iter=12,
+        ms_factor=gamma,
+        decoder="mbp",
+        dump=True,
+        extra1=alpha,
+        extra2=beta,
+    )
+    dec = MbpDecoder(
+        Hgf4=Hgf4,
+        error_channel=ch3,
+        max_iter=12,
+        alpha_parameter=alpha,
+        beta_parameter=beta,
+        bp_method="min_sum",
+        gamma_parameter=gamma,
+    )
+    ours = np.asarray(dec.decode_batch(syndromes)).astype(np.uint8)
+    assert ref.shape == ours.shape
+    agree = (ref == ours).all(axis=1).mean()
+    assert agree > 0.93, f"mbp toric asymmetric agreement {agree}"
+
+
+def test_bp_flip_composition_parity_ler():
+    """BpFlipDecoder (flip -> residual -> BP -> XOR, _bp_flip.pyx:44-61)
+    vs the reference composition run by the compiled driver's bpflip
+    mode: identical flip stages (deterministic), so solve rates and
+    logical error rates must agree within Monte-Carlo error."""
+    from ldpc_tpu import BpFlipDecoder
+
+    code = surface_code(7, compute_logicals=True)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    lx = np.asarray(code.lx.todense(), np.uint8)
+    m, n = H.shape
+    rng = np.random.default_rng(17)
+    B = 400
+    errors = (rng.random((B, n)) < 0.03).astype(np.uint8)
+    syndromes = (errors @ H.T % 2).astype(np.uint8)
+    stdin = rb.make_input(H, [0.03] * n, syndromes)
+    _, ref = rb.run(
+        stdin, max_iter=25, ms_factor=0.625, decoder="bpflip",
+        dump=True, extra1=0, extra2=1,
+    )
+    dec = BpFlipDecoder(
+        code.hx,
+        error_rate=0.03,
+        max_iter=25,
+        bp_method="minimum_sum",
+        ms_scaling_factor=0.625,
+        flip_iterations=0,
+    )
+    ours = np.asarray(dec.decode_batch(syndromes)).astype(np.uint8)
+    solved_ref = ((ref @ H.T) % 2 == syndromes).all(axis=1)
+    solved_our = ((ours @ H.T) % 2 == syndromes).all(axis=1)
+    sigma = np.sqrt(2 * 0.25 / B)
+    assert abs(solved_ref.mean() - solved_our.mean()) <= max(
+        4 * sigma, 0.05
+    ), (solved_ref.mean(), solved_our.mean())
+    # logical error rate agreement on the solved subset
+    both = solved_ref & solved_our
+    fail_ref = ((errors[both] ^ ref[both]) @ lx.T % 2).any(axis=1).mean()
+    fail_our = ((errors[both] ^ ours[both]) @ lx.T % 2).any(axis=1).mean()
+    sig = np.sqrt(2 * max(fail_ref, 1e-3) / max(int(both.sum()), 1))
+    assert abs(fail_ref - fail_our) <= max(4 * sig, 20 / B), (
+        fail_ref,
+        fail_our,
+    )

@@ -252,7 +252,11 @@ def main():
     add("LsdDecoder[standalone-lsd0]",
         lambda: LsdDecoder(hx, lsd_method="lsd_0", lsd_order=0),
         decode=lambda dec: (lambda: dec.decode_batch(syndromes, llr1)),
-        ref=dict(decoder="lsd-nobp", osd_method=-1, osd_order=0))
+        ref=dict(decoder="lsd-nobp", osd_method=-1, osd_order=0),
+        note="standalone LSD grows one bit per cluster per round "
+             "(reference default bits_per_step=1); the batched engine "
+             "is bounded by the worst lane's round count, not "
+             "arithmetic — an honest structural exception")
     add("SoftInfoBpDecoder",
         lambda: SoftInfoBpDecoder(
             hx, error_rate=ERROR_RATE, max_iter=MAX_ITER,

@@ -69,12 +69,33 @@ def headline_block(bench, src):
         f"{base:,.0f} | 1× |",
         "",
     ]
+    if "hgp400_mc_rate" in bench:
+        lines += [
+            "Second headline workload — the reference's flagship "
+            "[[400,16,6]] hypergraph-product code "
+            "(python_test/test_qcodes.py:95-160), same pipeline, its own "
+            "matched baseline:",
+            "",
+            "| pipeline ([[400,16,6]] HGP) | syndromes/s | vs reference |",
+            "|---|---|---|",
+            f"| device-resident Monte-Carlo | "
+            f"**{bench['hgp400_mc_rate']:,.0f}** | "
+            f"**{bench['hgp400_vs_baseline']:.0f}×** |",
+            f"| host-boundary `decode_batch` | "
+            f"{bench.get('hgp400_host_rate', 0):,.0f} | "
+            f"{bench.get('hgp400_host_vs_baseline', 0):.1f}× |",
+            f"| reference C++ BP+OSD-0 (single core, best of 5) | "
+            f"{bench.get('hgp400_baseline', 0):,.0f} | 1× |",
+            "",
+        ]
     if "bp_tflops" in bench:
         lines.append(
-            f"BP message throughput: {bench['bp_tflops']} Tflop/s "
+            f"BP message throughput: {bench['bp_tflops']} Tflop/s of "
+            f"useful edge-message flops "
             f"({100 * bench.get('mxu_utilization', 0):.1f}% of one v5e's "
-            "f32 peak) — an absolute roofline diagnostic independent of "
-            "baseline host-load noise."
+            "f32 peak; the raw one-hot MXU throughput behind it is "
+            "tens of percent of peak — see the attainable-bound roofline "
+            "in docs/performance.md)."
         )
         lines.append("")
     return lines
@@ -105,8 +126,9 @@ def decoder_block(rows):
         base = r.get("baseline")
         ratio = r.get("vs_matched_baseline")
         mark = ""
-        if r.get("baseline_note"):
-            notes.append(f"{len(notes) + 1}. {r['baseline_note']}")
+        note = r.get("note") or r.get("baseline_note")
+        if note:
+            notes.append(f"{len(notes) + 1}. {note}")
             mark = f" [^{len(notes)}]"
         lines.append(
             f"| {r['decoder']}{mark} | {r['rate']:,.0f} | "
