@@ -71,6 +71,17 @@ def _iters_dtype(max_iter: int):
     return jnp.int32, np.int32, 4
 
 
+def _plan_unless_disabled(dec, Bpad: int, Wb: int, wbar: float):
+    """The sparse export plan, or None once this decoder has seen a
+    segment overflow: codes with heavy postprocess corrections (e.g.
+    weight-30+ OSD outputs on HGP) overflow on nearly every chunk, and
+    each overflow costs a full dense redispatch — remembering beats
+    re-discovering per chunk (measured 3x on the [[400,16,6]] HGP)."""
+    if getattr(dec, "_seg_plan_off", False):
+        return None
+    return _sparse_export_plan(Bpad, dec.n, Wb, wbar)
+
+
 def _reconstruct_segments(buf_np, plan, Bpad: int, n: int):
     """Rebuild the (Bpad, n) uint8 decodings from a segmented sparse
     export buffer (layout: S*K local uint8 indices, then S count bytes)."""
@@ -638,13 +649,36 @@ class BpDecoderBase:
             Bpad = (
                 -(-Bc // 512) * 512 if Bc >= 512 else max(128, -(-Bc // 128) * 128)
             )
-            K = min(Bpad, max(128, -(-(Bpad // 8) // 128) * 128))
-            # second-level post compaction stays off by default: full-
-            # depth BP fails on ~9% of surface-code syndromes at p=0.01
-            # (degeneracy), so the K bucket is already right-sized; the
-            # K2 mechanism remains for workloads where BP converges
-            K2 = 0
-            plan = _sparse_export_plan(Bpad, self.n, Wb, wbar)
+            # bucket sized from the worst failure fraction seen so far
+            # (surface ~9%; HGP-family codes fail BP far more often —
+            # without the hint every chunk overflows and redispatches)
+            frac = getattr(self, "_nfail_frac_hint", 0.0)
+            K = min(
+                Bpad,
+                max(
+                    128,
+                    -(-(Bpad // 8) // 128) * 128,
+                    -(-(int(frac * Bpad * 1.3) + 1) // 128) * 128,
+                ),
+            )
+            # second-level post bucket from the observed FULL-DEPTH
+            # failure fraction (see bposd_decoder._decode_batch_tpu):
+            # ~9% on surface codes (K2 -> K, compaction naturally off),
+            # ~0.6% on HGP — there the postprocessor runs on 8x fewer
+            # rows and stops dominating
+            frac2 = getattr(self, "_nfail2_frac_hint", 1.0 / 64.0)
+            K2 = (
+                min(
+                    K,
+                    max(
+                        128,
+                        -(-(int(frac2 * Bpad * 1.5) + 1) // 128) * 128,
+                    ),
+                )
+                if post_builder is not None
+                else 0
+            )
+            plan = _plan_unless_disabled(self, Bpad, Wb, wbar)
             if Bpad != Bc:
                 chunk = np.concatenate(
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
@@ -678,6 +712,16 @@ class BpDecoderBase:
                 seg_over = bool(
                     plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
                 )
+                self._nfail_frac_hint = max(
+                    getattr(self, "_nfail_frac_hint", 0.0),
+                    float(nfail) / max(Bpad, 1),
+                )
+                self._nfail2_frac_hint = max(
+                    getattr(self, "_nfail2_frac_hint", 0.0),
+                    float(nfail2) / max(Bpad, 1),
+                )
+                if seg_over:
+                    self._seg_plan_off = True  # see _plan_unless_disabled
                 if not (nfail > K or 0 < K2 < nfail2 or seg_over):
                     break
                 K2 = K if 0 < K2 < nfail2 else K2

@@ -235,7 +235,7 @@ class BpFlipDecoder(BpDecoderBase):
                 )
             # BP failures keep their (possibly heavier) decodings: pad
             # the segment budget vs the channel-weight estimate
-            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar * 1.5)
+            plan = _base._plan_unless_disabled(self, Bpad, Wb, wbar * 1.5)
             dev = jnp.asarray(chunk)
             ck = jax.random.fold_in(key, st)
             buf = self._fused_fn(plan)(dev, ck)
@@ -253,6 +253,7 @@ class BpFlipDecoder(BpDecoderBase):
                 plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
             )
             if seg_over:
+                self._seg_plan_off = True  # see base._plan_unless_disabled
                 plan = None
                 buf_np = np.asarray(self._fused_fn(None)(dev, ck))
                 o1 = Bpad * Wb

@@ -444,7 +444,11 @@ class BpOsdDecoder(BpDecoderBase):
                 ]
             )  # (head + Bpad/8 + 8 + it_size*Bpad,) uint8
             if packed_d0 is None:
-                packed_d0 = pack_bits_u8(out)
+                # OSD-0/off: osdw==osd0, the host never reads d0p (see
+                # _decode_batch_tpu) — a dense re-pack of `out` here
+                # forces XLA to materialize a second consumer of the
+                # merge and tripled the sparse-export path on HGP
+                packed_d0 = jnp.zeros((1, 1), jnp.uint8)
             return buf, llrs, dec, packed_d0
 
         fn = jax.jit(program)
@@ -486,9 +490,30 @@ class BpOsdDecoder(BpDecoderBase):
                 if Bc >= 512
                 else max(128, self._round_up(Bc, 128))
             )
-            K = min(Bpad, max(128, self._round_up(Bpad // 8, 128)))
-            K2 = 0  # see base._decode_batch_fused: BP fails ~9% here
-            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar)
+            # bucket sized from the worst failure fraction seen so far
+            # (surface ~9%; HGP-family codes fail BP far more often —
+            # without the hint every chunk overflows and redispatches)
+            frac = getattr(self, "_nfail_frac_hint", 0.0)
+            K = min(
+                Bpad,
+                max(
+                    128,
+                    self._round_up(Bpad // 8, 128),
+                    self._round_up(int(frac * Bpad * 1.3) + 1, 128),
+                ),
+            )
+            # second-level post bucket from the observed FULL-DEPTH
+            # failure fraction: surface codes fail BP on ~9% of
+            # syndromes (K2 grows to K -> compaction naturally off),
+            # while e.g. the [[400,16,6]] HGP fails on ~0.6% — there the
+            # OSD stage runs on 8x fewer rows (the n=400 elimination is
+            # ~13 us/row, the dominant stage otherwise)
+            frac2 = getattr(self, "_nfail2_frac_hint", 1.0 / 64.0)
+            K2 = min(
+                K,
+                max(128, self._round_up(int(frac2 * Bpad * 1.5) + 1, 128)),
+            )
+            plan = _base._plan_unless_disabled(self, Bpad, Wb, wbar)
             if Bpad != Bc:
                 chunk = np.concatenate(
                     [chunk, np.zeros((Bpad - Bc, chunk.shape[1]), np.uint8)]
@@ -518,6 +543,16 @@ class BpOsdDecoder(BpDecoderBase):
                 seg_over = bool(
                     plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
                 )
+                self._nfail_frac_hint = max(
+                    getattr(self, "_nfail_frac_hint", 0.0),
+                    float(nfail) / max(Bpad, 1),
+                )
+                self._nfail2_frac_hint = max(
+                    getattr(self, "_nfail2_frac_hint", 0.0),
+                    float(nfail2) / max(Bpad, 1),
+                )
+                if seg_over:
+                    self._seg_plan_off = True  # see _plan_unless_disabled
                 if not (nfail > K or 0 < K2 < nfail2 or seg_over):
                     break
                 K2 = K if 0 < K2 < nfail2 else K2

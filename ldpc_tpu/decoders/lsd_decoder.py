@@ -242,7 +242,7 @@ class LsdDecoder:
                         [w_c, np.zeros((Bpad - Bc, self.n), np.float32)]
                     )
                 w_c = jnp.asarray(w_c)
-            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar_est)
+            plan = _base._plan_unless_disabled(self, Bpad, Wb, wbar_est)
             # staged compaction (ops.uf.grow_staged_multi) is wired but
             # off: at bits_per_step=1 each growth round costs ~2.4 ms
             # regardless of lane count (per-round dispatch overhead of
@@ -269,6 +269,8 @@ class LsdDecoder:
                 else 0
             )
             if seg_over or excess > 0:  # overflow: redo the chunk
+                if seg_over:
+                    self._seg_plan_off = True  # see base._plan_unless_disabled
                 plan = None if seg_over else plan
                 staged_K = None if excess > 0 else staged_K
                 buf_np = np.asarray(

@@ -241,7 +241,7 @@ class UnionFindDecoder:
             staged_K = 0
             if Bpad >= 4096 and jax.default_backend() == "tpu":
                 staged_K = max(512, -(-(Bpad // 8) // 512) * 512)
-            plan = _base._sparse_export_plan(Bpad, self.n, Wb, wbar_est)
+            plan = _base._plan_unless_disabled(self, Bpad, Wb, wbar_est)
             dev = jnp.asarray(chunk)
             try:
                 fn = self._packed_fn(bits_per_step, guided, staged_K, plan)
@@ -267,6 +267,8 @@ class UnionFindDecoder:
                 plan and buf_np[plan[0] * plan[1] : o1].max() > plan[1]
             )
             if nfail > staged_K or seg_over:  # overflow: redo the chunk
+                if seg_over:
+                    self._seg_plan_off = True  # see base._plan_unless_disabled
                 staged_K = 0 if nfail > staged_K else staged_K
                 plan = None if seg_over else plan
                 fn = self._packed_fn(bits_per_step, guided, staged_K, plan)

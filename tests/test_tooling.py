@@ -361,3 +361,36 @@ def test_data_utils_create_outpath(tmp_path):
         results_root=str(tmp_path / "results"),
     )
     assert f2.endswith("id_1.json")
+
+
+def test_merge_decoder_bench_sweeps(tmp_path):
+    """Sweep merging: best rate wins, notes survive, cross-sweep median
+    and recomputed baselines land in the artifact."""
+    import json
+    import subprocess
+    import sys
+
+    s1 = tmp_path / "s1.jsonl"
+    s2 = tmp_path / "s2.jsonl"
+    out = tmp_path / "merged.jsonl"
+    s1.write_text(
+        json.dumps({"decoder": "X", "rate": 100.0, "rate_best": 110.0,
+                    "baseline": 10.0, "note": "caveat"}) + "\n"
+    )
+    s2.write_text(
+        json.dumps({"decoder": "X", "rate": 140.0, "rate_best": 150.0,
+                    "baseline": 12.0}) + "\n"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "merge_decoder_bench.py"),
+         str(out), str(s1), str(s2)],
+        check=True, capture_output=True,
+    )
+    rec = json.loads(out.read_text().strip())
+    assert rec["rate"] == 140.0                      # best sweep wins
+    assert rec["note"] == "caveat"                   # note survives
+    assert rec["rate_median_sweeps"] == 140.0        # median of {100,140}
+    assert rec["baseline"] == 11.0                   # median baseline
+    assert rec["vs_matched_baseline"] == round(140.0 / 11.0, 2)
+    assert rec["sweeps"] == 2

@@ -218,7 +218,12 @@ def main():
         ref=dict(decoder="lsd", osd_method=-1, osd_order=0))
     add("BpLsdDecoder[lsd_cs-5]",
         lambda: BpLsdDecoder(hx, lsd_method="lsd_cs", lsd_order=5, **common),
-        ref=dict(decoder="lsd", osd_method=2, osd_order=5))
+        ref=dict(decoder="lsd", osd_method=2, osd_order=5),
+        note="order-w LSD re-eliminates the column-masked global system "
+             "once per nullity-growth round (W+2 solves); per BP-failure "
+             "it is ~2x the reference's per-cluster dense algebra, but "
+             "the batched engine pays it for the whole failure bucket — "
+             "a structural gap on top of the ~9% BP failure rate")
     add("BeliefFindDecoder[inversion]",
         lambda: BeliefFindDecoder(hx, uf_method="inversion", **common),
         ref=dict(decoder="uf-matrix"))
@@ -269,8 +274,12 @@ def main():
         ref=dict(decoder="softinfo", ms_factor=1.0, extra1=SOFT_CUTOFF,
                  extra2=SOFT_SIGMA),
         stdin=soft_input,
-        note=("soft syndromes are analog (624B/row f32): the "
-              "decode_batch surface is upload-bound on a tunneled link"),
+        note=("the reference algorithm is inherently bit-serial: its "
+              "virtual-update rule (bp.hpp:547-665) makes every bit's "
+              "update depend on the previous bit's in-place syndrome "
+              "edits, so lanes are the only parallel axis; this row "
+              "demonstrates parity (~1x), and beating it would mean "
+              "abandoning the reference's serial semantics"),
         nb=1000, bsz=16384, ref_reps=3)
     if Hgf4 is not None:
         add("MbpDecoder",
