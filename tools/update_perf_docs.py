@@ -101,7 +101,7 @@ def headline_block(bench, src):
     return lines
 
 
-def decoder_block(rows):
+def decoder_block(rows, workload="d=13 surface", intro=True, fp=""):
     if not rows:
         return [
             "",
@@ -112,11 +112,16 @@ def decoder_block(rows):
     batch = rows[0].get("batch", 0)
     lines = [
         "",
-        f"Per-family rates at the public `decode_batch` surface "
-        f"(batch {batch:,}, d=13 surface workload) against the MATCHED "
-        "compiled-reference variant, re-measured by "
-        "`tools/decoder_bench.py` (median of 5; the shared chip's "
-        "load makes single runs vary ±30%):",
+        (
+            f"Per-family rates at the public `decode_batch` surface "
+            f"(batch {batch:,}, {workload} workload) against the MATCHED "
+            "compiled-reference variant, re-measured by "
+            "`tools/decoder_bench.py` (median of reps, best of sweeps; "
+            "the shared chip's load makes single runs vary ±30%):"
+            if intro
+            else f"Same table on the {workload} workload "
+            f"(batch {batch:,}):"
+        ),
         "",
         "| decoder | syndromes/s | matched C++ baseline | speedup |",
         "|---|---|---|---|",
@@ -129,7 +134,7 @@ def decoder_block(rows):
         note = r.get("note") or r.get("baseline_note")
         if note:
             notes.append(f"{len(notes) + 1}. {note}")
-            mark = f" [^{len(notes)}]"
+            mark = f" [^{fp}{len(notes)}]"
         lines.append(
             f"| {r['decoder']}{mark} | {r['rate']:,.0f} | "
             + (f"{base:,.0f}" if base else "—")
@@ -139,7 +144,7 @@ def decoder_block(rows):
         )
     lines.append("")
     for i, note in enumerate(notes, 1):
-        lines.append(f"[^{i}]: {note[3:]}")
+        lines.append(f"[^{fp}{i}]: {note[3:]}")
     if notes:
         lines.append("")
     return lines
@@ -170,6 +175,13 @@ def main():
     bench, src = load_bench(args.bench)
     rows = load_decoders(args.decoders)
     block = headline_block(bench, src) + decoder_block(rows)
+    for extra, label, fp in [
+        ("decoder_bench_hgp400.jsonl", "[[400,16,6]] HGP", "h"),
+        ("decoder_bench_toric20.jsonl", "toric d=20", "t"),
+    ]:
+        extra_rows = load_decoders(os.path.join(ROOT, "docs", extra))
+        if extra_rows:
+            block += decoder_block(extra_rows, workload=label, intro=False, fp=fp)
     splice(os.path.join(ROOT, "README.md"), block)
     splice(os.path.join(ROOT, "docs", "performance.md"), block)
     return 0
