@@ -231,6 +231,23 @@ def test_sparse_export_matches_dense_layout(monkeypatch):
         d._fused_interpret = True
         return d
 
+    B = syn.shape[0]
+    packed_syn = np.packbits(syn, axis=1, bitorder="little")
+    nonzero = syn.any(axis=1)
+
+    def drive(dec, bit_packed_output=False):
+        # decode_batch routes to the plain XLA path off-TPU, so drive
+        # the fused host loop directly (interpret-mode kernels)
+        if isinstance(dec, BpOsdDecoder):
+            return dec._decode_batch_tpu(
+                packed_syn.copy(), B, nonzero,
+                bit_packed_output=bit_packed_output,
+            )
+        return dec._decode_batch_fused(
+            syn, nonzero, post_key="bp_only", post_builder=None,
+            bit_packed_output=bit_packed_output,
+        )[0]
+
     for cls, kw in [
         (BpDecoder, {}),
         (BpOsdDecoder, dict(osd_method="osd_0", osd_order=0)),
@@ -243,7 +260,7 @@ def test_sparse_export_matches_dense_layout(monkeypatch):
             is not None
         ), "sparse plan must engage at this workload"
         d_sparse = build(cls, **kw)
-        out_sparse = d_sparse.decode_batch(syn)
+        out_sparse = drive(d_sparse)
         conv_s, iter_s = (
             d_sparse.converge_batch.copy(),
             d_sparse.iter_batch.copy(),
@@ -253,7 +270,7 @@ def test_sparse_export_matches_dense_layout(monkeypatch):
             base_mod, "_sparse_export_plan", lambda *a: None
         )
         d_dense = build(cls, **kw)
-        out_dense = d_dense.decode_batch(syn)
+        out_dense = drive(d_dense)
         monkeypatch.undo()
         assert (out_sparse == out_dense).all()
         assert (conv_s == d_dense.converge_batch).all()
@@ -266,14 +283,51 @@ def test_sparse_export_matches_dense_layout(monkeypatch):
             lambda Bp, n, Wb_, w: (-(-(Bp * n) // base_mod._SEG_L), 2),
         )
         d_over = build(cls, **kw)
-        out_over = d_over.decode_batch(syn)
+        out_over = drive(d_over)
         monkeypatch.undo()
         assert (out_over == out_dense).all()
         # bit-packed output goes through the same reconstruction
-        packed = build(cls, **kw).decode_batch(
-            syn, bit_packed_output=True
-        )
+        packed = drive(build(cls, **kw), bit_packed_output=True)
         up = np.unpackbits(
             packed, axis=1, count=H.shape[1], bitorder="little"
         )
         assert (up == out_dense).all()
+
+
+def test_sparse_export_sticky_optout(monkeypatch):
+    """One segment overflow must permanently switch the decoder to the
+    dense export (base._plan_unless_disabled): heavy-correction codes
+    would otherwise pay a dense redispatch on every chunk."""
+    from ldpc_tpu.decoders import base as base_mod
+    from ldpc_tpu.decoders.bposd_decoder import BpOsdDecoder
+
+    code = surface_code(5)
+    H = np.asarray(code.hx.todense(), np.uint8)
+    rng = np.random.default_rng(9)
+    B = 200
+    errors = (rng.random((B, H.shape[1])) < 0.01).astype(np.uint8)
+    syn = (errors @ H.T % 2).astype(np.uint8)
+    dec = BpOsdDecoder(
+        code.hx, error_rate=0.01, max_iter=12,
+        bp_method="minimum_sum", ms_scaling_factor=0.625,
+        osd_method="osd_0",
+    )
+    dec._fused_interpret = True
+    packed = np.packbits(syn, axis=1, bitorder="little")
+    nonzero = syn.any(axis=1)
+    # force an overflow: a 1-slot segment budget cannot hold anything
+    monkeypatch.setattr(
+        base_mod,
+        "_sparse_export_plan",
+        lambda Bp, n, Wb, w: (-(-(Bp * n) // base_mod._SEG_L), 1),
+    )
+    out1 = dec._decode_batch_tpu(packed, B, nonzero)
+    assert getattr(dec, "_seg_plan_off", False), "overflow must set the flag"
+    # once off, the (broken) plan function must not be consulted again
+    monkeypatch.setattr(
+        base_mod,
+        "_sparse_export_plan",
+        lambda *a: (_ for _ in ()).throw(AssertionError("consulted")),
+    )
+    out2 = dec._decode_batch_tpu(packed, B, nonzero)
+    assert (out1 == out2).all()
