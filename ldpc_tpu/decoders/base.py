@@ -71,6 +71,24 @@ def _iters_dtype(max_iter: int):
     return jnp.int32, np.int32, 4
 
 
+def _tpu_kernel_unavailable(exc) -> bool:
+    """True when an exception means "this code can't use the fused TPU
+    kernels" and the caller should fall back to the XLA engine: either
+    our own VMEM-budget rejection (a ValueError raised before compile)
+    or a compiler-side failure (Mosaic/remote-compile crashes surface as
+    XlaRuntimeError INTERNAL, seen for the order-w sweep at n=800).
+    Anything else — assertion errors, shape bugs — must propagate."""
+    text = f"{type(exc).__name__}: {exc}"
+    if isinstance(exc, ValueError) and "VMEM budget" in text:
+        return True
+    return type(exc).__name__ == "XlaRuntimeError" and (
+        "remote_compile" in text
+        or "Mosaic" in text
+        or "RESOURCE_EXHAUSTED" in text
+        or "tpu_compile" in text
+    )
+
+
 def _plan_unless_disabled(dec, Bpad: int, Wb: int, wbar: float):
     """The sparse export plan, or None once this decoder has seen a
     segment overflow: codes with heavy postprocess corrections (e.g.
@@ -209,8 +227,8 @@ class BpDecoderBase:
                     iters,
                     self._ms_scaling_factor,
                 )
-            except ValueError as exc:
-                if "VMEM budget" not in str(exc):
+            except Exception as exc:  # noqa: BLE001 — see guard below
+                if not _tpu_kernel_unavailable(exc):
                     raise
         return bp_ops.make_parallel_decoder(
             self.graph,

@@ -15,7 +15,10 @@ import scipy.sparse
 
 import jax.numpy as jnp
 
-from ldpc_tpu.decoders.base import BpDecoderBase
+from ldpc_tpu.decoders.base import (
+    BpDecoderBase,
+    _tpu_kernel_unavailable,
+)
 from ldpc_tpu.ops import uf as uf_ops
 
 
@@ -141,8 +144,8 @@ class BeliefFindDecoder(BpDecoderBase):
                     )[0]
                 )
                 return out
-            except ValueError as exc:
-                if "VMEM budget" not in str(exc):
+            except Exception as exc:  # noqa: BLE001 — see guard below
+                if not _tpu_kernel_unavailable(exc):
                     raise
                 self._fused_unavailable = True
         # device-compacted cascade: full-depth BP + union-find run only

@@ -17,6 +17,7 @@ from ldpc_tpu.decoders.base import (
     _AUTO,
     _RECEIVED_VECTOR,
     _SYNDROME,
+    _tpu_kernel_unavailable,
 )
 from ldpc_tpu.ops import bp as bp_ops
 
@@ -157,8 +158,8 @@ class BpDecoder(BpDecoderBase):
                     bit_packed_output=bit_packed_output,
                 )
                 return out
-            except ValueError as exc:
-                if "VMEM budget" not in str(exc):
+            except Exception as exc:  # noqa: BLE001 — see guard below
+                if not _tpu_kernel_unavailable(exc):
                     raise
                 self._fused_unavailable = True
         result = self._run_bp_batch(syndromes.astype(np.uint8))

@@ -17,7 +17,10 @@ import scipy.sparse
 
 import jax.numpy as jnp
 
-from ldpc_tpu.decoders.base import BpDecoderBase
+from ldpc_tpu.decoders.base import (
+    BpDecoderBase,
+    _tpu_kernel_unavailable,
+)
 from ldpc_tpu.decoders.lsd_common import (
     METHOD_NAMES,
     Statistics,
@@ -252,8 +255,8 @@ class BpLsdDecoder(BpDecoderBase):
                         )[0]
                     else:
                         self._decoding = out[0]
-                except ValueError as exc:
-                    if "VMEM budget" not in str(exc):
+                except Exception as exc:  # noqa: BLE001 — see guard below
+                    if not _tpu_kernel_unavailable(exc):
                         raise
                     self._fused_unavailable = True
                     fused = None

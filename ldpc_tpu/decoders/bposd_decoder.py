@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_tpu.decoders import base as _base
-from ldpc_tpu.decoders.base import BpDecoderBase
+from ldpc_tpu.decoders.base import (
+    BpDecoderBase,
+    _tpu_kernel_unavailable,
+)
 from ldpc_tpu.decoders.bp_decoder import SoftInfoBpDecoder
 from ldpc_tpu.ops import osd as osd_ops
 
@@ -162,8 +165,8 @@ class BpOsdDecoder(BpDecoderBase):
                     )
                     self._decoder_cache[key] = fn
                     return fn
-                except ValueError as exc:
-                    if "VMEM budget" not in str(exc):
+                except Exception as exc:  # noqa: BLE001 — see guard below
+                    if not _tpu_kernel_unavailable(exc):
                         raise
             fn = osd_ops.make_osd_decoder(
                 self.graph,
@@ -688,8 +691,8 @@ class BpOsdDecoder(BpDecoderBase):
                 return self._decode_batch_tpu(
                     packed_all, B, nonzero, bit_packed_output
                 )
-            except ValueError as exc:
-                if "VMEM budget" not in str(exc):
+            except Exception as exc:  # noqa: BLE001 — see guard below
+                if not _tpu_kernel_unavailable(exc):
                     raise
                 # code too large for the fused kernels: XLA path instead
                 self._fused_unavailable = True
