@@ -443,6 +443,11 @@ def make_soft_info_decoder(
             it = it + 1
             active = ~conv
             carry = (v2c, soft, synd, llr_arr, dec, active)
+            # NOTE: unrolling this serial sweep (static per-bit indices)
+            # was measured at only +17% on TPU for a ~2-minute compile —
+            # the cost is the per-bit dependent-op chain itself, not the
+            # loop machinery; the algorithm is serial by reference
+            # semantics (see the SoftInfoBpDecoder bench-row note)
             v2c, soft, synd, llr_arr, dec, _ = jax.lax.fori_loop(0, n, bit_step, carry)
             dec_pad = jnp.concatenate([dec, jnp.zeros(1, bool)])
             cand = dec_pad[chk_bits].reshape(m, dc).sum(axis=1) % 2
