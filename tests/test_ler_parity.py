@@ -21,8 +21,6 @@ from ldpc_tpu.codes import surface_code
 
 REF = "/root/reference"
 PCMS = os.path.join(REF, "python_test", "pcms")
-BIN = "/tmp/ldpc_tpu_parity_v2/bench_baseline"
-
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "src_cpp"))
     or shutil.which("g++") is None,
@@ -31,26 +29,15 @@ pytestmark = pytest.mark.skipif(
 
 
 def _build_binary():
-    if os.path.exists(BIN):
-        return BIN
-    os.makedirs(os.path.dirname(BIN), exist_ok=True)
-    src = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "native",
-        "bench_baseline.cpp",
-    )
-    subprocess.run(
-        [
-            "g++", "-O2", "-std=c++20", "-o", BIN, src,
-            "-I", os.path.join(REF, "src_cpp"),
-            "-I", os.path.join(REF, "include"),
-            "-I", os.path.join(REF, "include", "robin_map"),
-        ],
-        check=True,
-        capture_output=True,
-        timeout=600,
-    )
-    return BIN
+    # Single source of truth for compiling the reference driver —
+    # bench_baseline.cpp needs the mbp.hpp iterator shim include dir,
+    # which only utils/reference_baseline.py knows how to stage.
+    from ldpc_tpu.utils import reference_baseline as rb
+
+    path = rb.build_binary()
+    if path is None:
+        pytest.skip("reference baseline binary failed to build")
+    return path
 
 
 def _reference_decode(
