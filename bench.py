@@ -64,6 +64,8 @@ def measure_tpu(code, H, syndromes):
     )
     out = dec.decode_batch(syndromes)  # warmup + compile
     assert ((out @ H.T) % 2 == syndromes).all(), "decode invalid"
+    dec.decode_batch(syndromes)  # settle: absorb the one adaptive-bucket
+    # recompile the warmup's learned failure-fraction hints can trigger
     times = []
     for _ in range(TIMED_ROUNDS):
         t0 = time.perf_counter()
@@ -256,6 +258,7 @@ def measure_hgp400():
         )
         outb = dec.decode_batch(syn)
         assert ((outb @ H.T) % 2 == syn).all(), "hgp decode invalid"
+        dec.decode_batch(syn)  # settle (see measure_tpu)
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
